@@ -60,8 +60,8 @@ def _drag(v, cfg: SimConfig, dt):
     return jnp.where(c > 1.0, jnp.zeros_like(v), v - v * c)
 
 
-def _step_euler(state: ParticleState, cfg: SimConfig, dt) -> ParticleState:
-    a = pair_accel(state.positions, state, cfg)
+def _step_euler(state: ParticleState, cfg: SimConfig, dt, accel_fn) -> ParticleState:
+    a = accel_fn(state.positions, state, cfg)
     v = state.velocities + a * dt
     v = v + jnp.asarray(cfg.acceleration, v.dtype) * dt
     v = _drag(v, cfg, dt)
@@ -70,11 +70,11 @@ def _step_euler(state: ParticleState, cfg: SimConfig, dt) -> ParticleState:
     return state.replace(positions=x, velocities=v)
 
 
-def _total_accel(positions, state, cfg):
-    return pair_accel(positions, state, cfg) + jnp.asarray(cfg.acceleration, positions.dtype)
+def _total_accel(positions, state, cfg, accel_fn):
+    return accel_fn(positions, state, cfg) + jnp.asarray(cfg.acceleration, positions.dtype)
 
 
-def _step_velocity_verlet(state: ParticleState, cfg: SimConfig, dt) -> ParticleState:
+def _step_velocity_verlet(state: ParticleState, cfg: SimConfig, dt, accel_fn) -> ParticleState:
     """Velocity Verlet: x += v dt + a dt^2/2; v += (a + a') dt/2.
 
     Uses the cached acceleration in state.accel (zero on the first step —
@@ -85,19 +85,19 @@ def _step_velocity_verlet(state: ParticleState, cfg: SimConfig, dt) -> ParticleS
     v = state.velocities
     x = state.positions + v * dt + 0.5 * a0 * dt * dt
     x, v = apply_boundary(x, v, cfg)
-    a1 = _total_accel(x, state, cfg)
+    a1 = _total_accel(x, state, cfg, accel_fn)
     v = v + 0.5 * (a0 + a1) * dt
     v = _drag(v, cfg, dt)
     return state.replace(positions=x, velocities=v, accel=a1)
 
 
-def _step_leapfrog(state: ParticleState, cfg: SimConfig, dt) -> ParticleState:
+def _step_leapfrog(state: ParticleState, cfg: SimConfig, dt, accel_fn) -> ParticleState:
     """Kick-drift-kick leapfrog with cached acceleration."""
     a0 = state.accel
     v_half = state.velocities + 0.5 * a0 * dt
     x = state.positions + v_half * dt
     x, v_half = apply_boundary(x, v_half, cfg)
-    a1 = _total_accel(x, state, cfg)
+    a1 = _total_accel(x, state, cfg, accel_fn)
     v = v_half + 0.5 * a1 * dt
     v = _drag(v, cfg, dt)
     return state.replace(positions=x, velocities=v, accel=a1)
@@ -107,17 +107,23 @@ def warmup(state: ParticleState, cfg: SimConfig) -> ParticleState:
     """Populate the cached acceleration (velocity_verlet / leapfrog start)."""
     if cfg.integrator == "euler":
         return state
-    return state.replace(accel=_total_accel(state.positions, state, cfg))
+    return state.replace(accel=_total_accel(state.positions, state, cfg, pair_accel))
 
 
-def step(state: ParticleState, cfg: SimConfig, dt) -> ParticleState:
-    """One simulation step (pure function; jit/scan/shard_map friendly)."""
+def step(state: ParticleState, cfg: SimConfig, dt,
+         accel_fn=None) -> ParticleState:
+    """One simulation step (pure function; jit/scan/shard_map friendly).
+
+    ``accel_fn(positions, state, cfg)`` overrides the pairwise-force backend
+    (the ring-sharded path injects its collective sweep here).
+    """
+    accel_fn = accel_fn or pair_accel
     if cfg.integrator == "euler":
-        return _step_euler(state, cfg, dt)
+        return _step_euler(state, cfg, dt, accel_fn)
     if cfg.integrator == "velocity_verlet":
-        return _step_velocity_verlet(state, cfg, dt)
+        return _step_velocity_verlet(state, cfg, dt, accel_fn)
     if cfg.integrator == "leapfrog":
-        return _step_leapfrog(state, cfg, dt)
+        return _step_leapfrog(state, cfg, dt, accel_fn)
     raise ValueError(f"unknown integrator {cfg.integrator!r}")
 
 

@@ -23,7 +23,7 @@ from ..config import SimConfig
 from . import forces as F
 
 
-def _tile_forces(pos_i, u_i, pos_j, v_j, cfg: SimConfig, mag):
+def _tile_forces(pos_i, u_i, pos_j, v_j, cfg: SimConfig, scale):
     """Forces on a block of receivers from a block of sources.
 
     pos_i: [TI,3], u_i: [TI,P], pos_j: [TJ,3], v_j: [TJ,P] -> [TI,3]
@@ -35,32 +35,36 @@ def _tile_forces(pos_i, u_i, pos_j, v_j, cfg: SimConfig, mag):
     r = cfg.particle_effect_radius
     valid = jnp.logical_and(d2 > 0.0, d2 < r * r)
     coef = u_i @ v_j.T  # [TI,TJ] rank-1 pair coefficients
-    inv_d = jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, d2, 1.0)), 0.0)
-    d = d2 * inv_d
-    f = mag(d, coef)
-    s = jnp.where(valid, f * inv_d, 0.0)  # magnitude / distance
+    s = jnp.where(valid, scale(jnp.where(valid, d2, 1.0), coef), 0.0)
     return jnp.einsum("ijc,ij->ic", delta, s)
 
 
-def allpairs_forces(positions, u, v, cfg: SimConfig, block_i: int = 1024):
+def allpairs_forces(positions, u, v, cfg: SimConfig, block_i: int = 1024,
+                    src_positions=None, src_v=None):
     """Accumulated pair forces, [N,3].
 
     Blocked over receivers with ``lax.map`` so peak memory is
-    O(block_i * N) rather than O(N^2) — the XLA analogue of streaming the
-    j-dimension. N must not be huge here; use the Pallas or cell-list
+    O(block_i * N_src) rather than O(N^2) — the XLA analogue of streaming
+    the j-dimension. N must not be huge here; use the Pallas or cell-list
     backend past ~64k.
+
+    ``src_positions``/``src_v`` select a different source set than the
+    receivers (rectangular sweep) — used by the ring-sharded backend, where
+    remote position blocks stream past local receivers.
     """
+    if src_positions is None:
+        src_positions, src_v = positions, v
     n = positions.shape[0]
-    mag = F.magnitude_fn(cfg)
+    mag = F.scale_fn(cfg)
     if n <= block_i:
-        return _tile_forces(positions, u, positions, v, cfg, mag)
+        return _tile_forces(positions, u, src_positions, src_v, cfg, mag)
     nb = -(-n // block_i)
     pad = nb * block_i - n
     # Padding receivers is safe: padded rows are sliced off at the end.
     pos_i = jnp.pad(positions, ((0, pad), (0, 0))).reshape(nb, block_i, 3)
     u_i = jnp.pad(u, ((0, pad), (0, 0))).reshape(nb, block_i, u.shape[1])
     out = jax.lax.map(
-        lambda args: _tile_forces(args[0], args[1], positions, v, cfg, mag),
+        lambda args: _tile_forces(args[0], args[1], src_positions, src_v, cfg, mag),
         (pos_i, u_i),
     )
     return out.reshape(nb * block_i, 3)[:n]

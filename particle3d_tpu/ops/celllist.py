@@ -1,0 +1,177 @@
+"""Static-shape cell-list neighbor path (O(N * density) instead of O(N^2)).
+
+TPU-native replacement for the reference's spatial hash (``src/lib.rs:134-164``:
+SipHash of truncated cell coords into an atomic counting sort, with hash
+collisions adding spurious candidates). Here:
+
+  * cell ids are exact (floor binning on the shifted box — deliberately
+    diverging from quirk Q1's truncation-toward-zero, which is a binning
+    artifact, not semantics; the radius gate makes both correct),
+  * particles are sorted by raveled cell id (one ``argsort`` — XLA's on-device
+    bitonic sort replaces the atomic scatter),
+  * each cell owns a fixed-capacity slot block (static shapes for XLA),
+  * forces: for every cell, its receivers sweep the 27 neighbor cells'
+    padded source blocks — batched with ``lax.map`` to bound memory,
+  * the minimum-image wrap in the pair math handles periodic neighbor cells.
+
+Capacity is static (compile-time); ``celllist_stats`` reports occupancy and
+overflow so hosts can rebuild with a larger capacity (the jax-md pattern).
+Overflowed particles are dropped from both receiver and source sets — always
+size capacity generously (default 3x mean occupancy).
+
+Requires >= 3 cells per axis (otherwise the 27-neighborhood would double
+count through the wrap); below that the caller should use all-pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from . import forces as F
+
+
+def grid_dims(world_size: float, radius: float) -> int:
+    """Cells per axis: floor(world/radius) guarantees cell width >= radius."""
+    return max(int(world_size // radius), 1)
+
+
+def default_capacity(n: int, nc: int, slack: float = 3.0) -> int:
+    mean = n / max(nc ** 3, 1)
+    cap = int(-(-slack * mean // 8) * 8)
+    return max(cap, 8)
+
+
+def _cell_ids(positions, cfg: SimConfig, nc: int):
+    """Raveled cell id per particle, i32[N]."""
+    w = cfg.world_size
+    cellw = w / nc
+    shifted = positions + w * 0.5
+    idx = jnp.clip(jnp.floor(shifted / cellw).astype(jnp.int32), 0, nc - 1)
+    return (idx[:, 0] * nc + idx[:, 1]) * nc + idx[:, 2]
+
+
+def _neighbor_table(nc: int, wrap: bool):
+    """[C, 27] neighbor cell ids (and validity mask for non-wrap edges)."""
+    import numpy as np
+
+    coords = np.stack(np.meshgrid(np.arange(nc), np.arange(nc), np.arange(nc),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                indexing="ij"), -1).reshape(-1, 3)
+    nb = coords[:, None, :] + offs[None, :, :]  # [C, 27, 3]
+    if wrap:
+        nbm = nb % nc
+        valid = np.ones(nb.shape[:2], bool)
+    else:
+        valid = np.all((nb >= 0) & (nb < nc), axis=-1)
+        nbm = np.clip(nb, 0, nc - 1)
+    ids = (nbm[..., 0] * nc + nbm[..., 1]) * nc + nbm[..., 2]
+    return jnp.asarray(ids, jnp.int32), jnp.asarray(valid)
+
+
+def build_cell_list(positions, cfg: SimConfig, nc: int, capacity: int):
+    """Bin particles: returns (slot_idx [C, CAP] particle indices with -1
+    padding, order [N] sort permutation)."""
+    n = positions.shape[0]
+    c = nc ** 3
+    cid = _cell_ids(positions, cfg, nc)
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    # rank within cell = position among equal cids
+    starts = jnp.searchsorted(cid_sorted, jnp.arange(c, dtype=cid.dtype))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_sorted].astype(jnp.int32)
+    keep = rank < capacity
+    flat = jnp.where(keep, cid_sorted * capacity + rank, c * capacity)
+    slot_idx = jnp.full((c * capacity + 1,), -1, jnp.int32)
+    slot_idx = slot_idx.at[flat].set(order.astype(jnp.int32), mode="drop")
+    return slot_idx[:-1].reshape(c, capacity), order
+
+
+def celllist_stats(positions, cfg: SimConfig, nc: int | None = None,
+                   capacity: int | None = None):
+    """Host-side diagnostics: (max occupancy, overflow bool, cells/axis)."""
+    n = positions.shape[0]
+    if nc is None:
+        nc = grid_dims(float(cfg.world_size), float(cfg.particle_effect_radius))
+    if capacity is None:
+        capacity = default_capacity(n, nc)
+    cid = _cell_ids(jnp.asarray(positions), cfg, nc)
+    counts = jnp.zeros((nc ** 3,), jnp.int32).at[cid].add(1)
+    mx = int(counts.max())
+    return mx, mx > capacity, nc
+
+
+def celllist_forces(positions, u, v, cfg: SimConfig,
+                    nc: int | None = None, capacity: int | None = None,
+                    cell_batch: int = 512):
+    """Accumulated pair forces [N,3] via the cell list.
+
+    Falls back to the 27-neighborhood sweep per cell; identical semantics to
+    all-pairs for world >= 2*radius (every in-radius pair is within one cell
+    of its receiver).
+    """
+    n = positions.shape[0]
+    if nc is None:
+        # static given concrete config floats; traced configs must pass nc
+        nc = grid_dims(float(cfg.world_size), float(cfg.particle_effect_radius))
+    if nc < 3:
+        from .allpairs import allpairs_forces
+
+        return allpairs_forces(positions, u, v, cfg)
+    if capacity is None:
+        capacity = default_capacity(n, nc)
+    c = nc ** 3
+    scale = F.scale_fn(cfg)
+    r2 = cfg.particle_effect_radius * cfg.particle_effect_radius
+
+    slot_idx, _ = build_cell_list(positions, cfg, nc, capacity)  # [C, CAP]
+    present = slot_idx >= 0
+    safe_idx = jnp.where(present, slot_idx, 0)
+    cell_pos = positions[safe_idx]  # [C, CAP, 3]
+    cell_u = u[safe_idx]  # [C, CAP, P]
+    cell_v = v[safe_idx]
+    nb_ids, nb_valid = _neighbor_table(nc, bool(cfg.wrap_forces))  # [C, 27]
+
+    def one_batch(args):
+        rec_pos, rec_u, rec_present, nb, nbv = args
+        # sources: gather 27 neighbor cells -> [B, 27*CAP, ...]
+        b = rec_pos.shape[0]
+        src_pos = cell_pos[nb].reshape(b, 27 * capacity, 3)
+        src_v = cell_v[nb].reshape(b, 27 * capacity, -1)
+        src_present = jnp.logical_and(present[nb], nbv[..., None]).reshape(
+            b, 27 * capacity)
+        delta = src_pos[:, None, :, :] - rec_pos[:, :, None, :]  # [B,CAP,27CAP,3]
+        if cfg.wrap_forces:
+            delta = F.min_image(delta, cfg.world_size)
+        d2 = jnp.sum(delta * delta, axis=-1)
+        valid = (d2 > 0.0) & (d2 < r2) & src_present[:, None, :] \
+            & rec_present[:, :, None]
+        coef = jnp.einsum("bip,bjp->bij", rec_u, src_v)
+        s = jnp.where(valid, scale(jnp.where(valid, d2, 1.0), coef), 0.0)
+        return jnp.einsum("bijc,bij->bic", delta, s)  # [B, CAP, 3]
+
+    nbatch = -(-c // cell_batch)
+    if nbatch <= 1:
+        forces_cells = one_batch((cell_pos, cell_u, present, nb_ids, nb_valid))
+    else:
+        pad = nbatch * cell_batch - c
+
+        def padb(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+                (nbatch, cell_batch) + a.shape[1:])
+
+        forces_cells = jax.lax.map(
+            one_batch,
+            (padb(cell_pos), padb(cell_u), padb(present), padb(nb_ids),
+             padb(nb_valid)),
+        ).reshape((nbatch * cell_batch, capacity, 3))[:c]
+
+    # scatter per-slot forces back to particle order
+    out = jnp.zeros((n + 1, 3), positions.dtype)
+    flat_idx = jnp.where(present, slot_idx, n).reshape(-1)
+    out = out.at[flat_idx].add(forces_cells.reshape(-1, 3))
+    return out[:n]

@@ -99,6 +99,51 @@ def spring_magnitude(d, coef, stiffness, rest_length):
     return coef * stiffness * (d - rest_length)
 
 
+# ---------------------------------------------------------------------------
+# Scale functions  s(d2, coef) = f(d)/d — what the engines actually need.
+#
+# The accumulation is ``acc += rel * (f/d)``; expressing f/d directly in the
+# SQUARED distance avoids reconstructing d via rsqrt in the hot path, which
+# is both faster and numerically safer (XLA's rsqrt is an approximation on
+# some backends). Gravity and Lennard-Jones need no sqrt at all; the
+# particle-life and spring laws use one exact sqrt.
+# ---------------------------------------------------------------------------
+
+def particle_life_scale(d2, coef, min_pull_ratio):
+    d = jnp.sqrt(d2)
+    return particle_life_magnitude(d, coef, min_pull_ratio) / d
+
+
+def lennard_jones_scale(d2, coef, epsilon, sigma):
+    a = sigma * sigma / d2
+    a3 = a * a * a  # (sigma/d)^6
+    return coef * (24.0 * epsilon / d2) * (a3 - 2.0 * a3 * a3)
+
+
+def gravity_scale(d2, coef, g_const, softening):
+    dd2 = d2 + softening * softening
+    return coef * g_const / (dd2 * jnp.sqrt(dd2))
+
+
+def spring_scale(d2, coef, stiffness, rest_length):
+    d = jnp.sqrt(d2)
+    return coef * stiffness * (d - rest_length) / d
+
+
+def scale_fn(cfg: SimConfig):
+    """Return g(d2, coef) -> f/d for the configured law (engine hot path)."""
+    law = cfg.force_law
+    if law == "particle_life":
+        return lambda d2, c: particle_life_scale(d2, c, cfg.min_pull_ratio)
+    if law == "lennard_jones":
+        return lambda d2, c: lennard_jones_scale(d2, c, cfg.lj_epsilon, cfg.lj_sigma)
+    if law == "gravity":
+        return lambda d2, c: gravity_scale(d2, c, cfg.gravity_constant, cfg.gravity_softening)
+    if law == "spring":
+        return lambda d2, c: spring_scale(d2, c, cfg.spring_stiffness, cfg.spring_rest_length)
+    raise ValueError(f"unknown force law {law!r}")
+
+
 def magnitude_fn(cfg: SimConfig):
     """Return f(d, coef) -> magnitude for the configured law, closing over
     the (traced) law parameters from cfg."""

@@ -1,0 +1,103 @@
+"""Pallas all-pairs kernel vs the dense jnp path (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from particle3d_tpu import SimConfig, reference_config, from_numpy
+from particle3d_tpu.ops import forces as F
+from particle3d_tpu.ops.allpairs import allpairs_forces
+from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces
+
+
+def _scene(seed, n, cfg, with_vel=False, k=5):
+    rng = np.random.default_rng(seed)
+    half = float(np.asarray(cfg.world_size)) / 2
+    pos = rng.uniform(-half, half, (n, 3)).astype(np.float32)
+    species = rng.integers(0, k, n).astype(np.int32)
+    st = from_numpy(pos, np.zeros_like(pos), species)
+    return st
+
+
+@pytest.mark.parametrize("n", [32, 100, 256, 513])
+def test_pallas_matches_dense_particle_life(n):
+    cfg = reference_config()
+    st = _scene(n, n, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces(st.positions, u, v, cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_matches_dense_no_wrap():
+    cfg = reference_config().replace(wrap_forces=False)
+    st = _scene(7, 200, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces(st.positions, u, v, cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_matches_dense_gravity():
+    cfg = SimConfig(
+        force_law="gravity", gravity_constant=1.5, gravity_softening=0.3,
+        particle_effect_radius=4.0, world_size=20.0, wrap_forces=True,
+    ).validate()
+    rng = np.random.default_rng(8)
+    n = 150
+    # Grid + jitter keeps pair terms bounded so the comparison is
+    # well-conditioned in f32 (uniform random placement creates huge
+    # near-canceling terms that amplify summation-order noise).
+    g = np.stack(np.meshgrid(*[np.linspace(-8, 8, 6)] * 3), -1).reshape(-1, 3)
+    pos = (g[:n] + rng.normal(0, 0.2, (n, 3))).astype(np.float32)
+    st = from_numpy(pos, np.zeros_like(pos), np.zeros(n, np.int32),
+                    masses=rng.uniform(0.5, 2.0, n).astype(np.float32))
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces(st.positions, u, v, cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_matches_dense_lennard_jones():
+    cfg = SimConfig(
+        force_law="lennard_jones", lj_epsilon=1.0, lj_sigma=0.3,
+        particle_effect_radius=1.5, world_size=12.0,
+    ).validate()
+    rng = np.random.default_rng(9)
+    n = 128
+    # keep particles separated enough that LJ doesn't blow up numerically
+    grid = np.stack(np.meshgrid(*[np.linspace(-5, 5, 6)] * 3), -1).reshape(-1, 3)
+    pos = (grid[:n] + rng.normal(0, 0.05, (n, 3))).astype(np.float32)
+    st = from_numpy(pos, np.zeros_like(pos), np.zeros(n, np.int32))
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces(st.positions, u, v, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_multi_jblock_accumulation():
+    """Force the grid to iterate >1 outer source block and >1 subtile."""
+    cfg = reference_config()
+    n = 600
+    st = _scene(13, n, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(
+        pallas_allpairs_forces(st.positions, u, v, cfg, ti=64, tj=128, subtiles=2)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_pallas_backend_in_step():
+    """End-to-end: step() with neighbor='allpairs_pallas' matches 'allpairs'."""
+    from particle3d_tpu import step
+
+    cfg = reference_config()
+    cfg_p = cfg.replace(neighbor="allpairs_pallas")
+    st = _scene(21, 256, cfg)
+    dt = 1.0 / 60.0
+    a = step(st, cfg, dt)
+    b = step(st, cfg_p, dt)
+    np.testing.assert_allclose(
+        np.asarray(a.positions), np.asarray(b.positions), rtol=1e-4, atol=1e-5)
