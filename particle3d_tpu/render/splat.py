@@ -1,0 +1,140 @@
+"""On-device point-splat rasterizer with an exact scatter-min z-buffer.
+
+TPU-native replacement for the reference's wgpu billboard pipeline
+(``src/bin/main.rs:487-833`` + ``particles.wgsl``): particles render as
+depth-tested circular splats of world-space size ~0.1 (particles.wgsl:71-72),
+colored by species (particles.wgsl:53-54). Instead of a raster pipeline, we
+pack (depth, color-id) into one int32 per pixel and use ``scatter-min`` —
+positive IEEE float bits are monotonic, so the min over packed keys IS the
+depth test, deterministically, in one XLA op.
+
+The world-box wireframe is drawn as depth-tested line splats along the 12 box
+edges — fixing reference quirk Q7, whose border shader never read world_size
+and drew no box.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from .camera import Camera, view_matrix, projection_matrix
+
+BORDER_COLOR_ID = 254
+BACKGROUND_ID = 255
+SPRITE_WORLD_SIZE = 0.1  # particles.wgsl:71-72 view-space quad side
+
+
+def _project(points, vm, pm):
+    """world [M,3] -> (pixel xy [M,2] in unit square, depth01 [M], in_front [M])."""
+    ones = jnp.ones((points.shape[0], 1), points.dtype)
+    hom = jnp.concatenate([points, ones], axis=1)  # [M,4]
+    viewp = hom @ vm.T  # [M,4]
+    clip = viewp @ pm.T
+    w = clip[:, 3:4]
+    in_front = w[:, 0] > 1e-6  # -z_view > 0
+    ndc = clip[:, :3] / jnp.where(in_front[:, None], w, 1.0)
+    xy = jnp.stack([(ndc[:, 0] + 1.0) * 0.5, (1.0 - ndc[:, 1]) * 0.5], axis=1)
+    depth01 = jnp.clip(ndc[:, 2] * 0.5 + 0.5, 0.0, 1.0)
+    return xy, depth01, in_front, -viewp[:, 2]  # view-space depth (positive ahead)
+
+
+def _pack_keys(depth01, color_id):
+    """Monotonic (depth, color) packing: high 24 bits = float depth bits."""
+    bits = jax.lax.bitcast_convert_type(depth01.astype(jnp.float32), jnp.int32)
+    return (bits & jnp.int32(~0xFF)) | color_id.astype(jnp.int32)
+
+
+def _splat(buf, xy, depth01, view_z, color_id, alive, width, height,
+           radius_px, footprint):
+    """Scatter-min splats of per-point pixel radius ``radius_px`` into buf."""
+    px = xy[:, 0] * width
+    py = xy[:, 1] * height
+    keys = _pack_keys(depth01, color_id)  # [M]
+    half = footprint // 2
+    offs = jnp.arange(-half, half + 1)
+    ox, oy = jnp.meshgrid(offs, offs, indexing="xy")
+    ox = ox.reshape(-1).astype(jnp.float32)  # [F]
+    oy = oy.reshape(-1).astype(jnp.float32)
+    # pixel centers covered by each splat
+    cx = jnp.floor(px[:, None]) + ox[None, :]  # [M,F]
+    cy = jnp.floor(py[:, None]) + oy[None, :]
+    dist2 = (cx + 0.5 - px[:, None]) ** 2 + (cy + 0.5 - py[:, None]) ** 2
+    inside = dist2 <= (radius_px[:, None] ** 2)
+    onscreen = (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+    ok = inside & onscreen & alive[:, None]
+    lin = (cy.astype(jnp.int32) * width + cx.astype(jnp.int32)).reshape(-1)
+    lin = jnp.where(ok.reshape(-1), lin, width * height)  # park dead in sentinel
+    return buf.at[lin].min(jnp.broadcast_to(keys[:, None], ok.shape).reshape(-1),
+                           mode="drop")
+
+
+def _box_edge_points(world_size, samples: int):
+    """[12*samples, 3] points along the world-box edges."""
+    h = world_size * 0.5
+    t = jnp.linspace(-1.0, 1.0, samples)
+    pts = []
+    for axis in range(3):
+        for s1 in (-1.0, 1.0):
+            for s2 in (-1.0, 1.0):
+                e = [None, None, None]
+                e[axis] = t * h
+                e[(axis + 1) % 3] = jnp.full_like(t, s1 * h)
+                e[(axis + 2) % 3] = jnp.full_like(t, s2 * h)
+                pts.append(jnp.stack(e, axis=1))
+    return jnp.concatenate(pts, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "footprint", "draw_border",
+                     "border_samples"),
+)
+def render_frame(positions, species, cfg: SimConfig, cam: Camera,
+                 width: int = 640, height: int = 480, *,
+                 footprint: int = 7, draw_border: bool = True,
+                 border_samples: int = 128):
+    """Render one frame entirely on device -> uint8 image [H, W, 3].
+
+    positions [N,3], species i32[N]; colors come from cfg.colors
+    (the reference's per-species color table, src/bin/main.rs:126-132).
+    """
+    vm = view_matrix(cam)
+    pm = projection_matrix(cam, width / height)
+    # focal length in pixels for world->pixel radius conversion
+    fov = jnp.deg2rad(jnp.asarray(cam.fov_deg, jnp.float32))
+    focal_px = (height * 0.5) / jnp.tan(fov / 2.0)
+
+    buf = jnp.full((width * height + 1,), jnp.int32(0x7FFFFFFF))
+
+    if draw_border:
+        bp = _box_edge_points(jnp.asarray(cfg.world_size, jnp.float32),
+                              border_samples)
+        xy, d01, front, vz = _project(bp, vm, pm)
+        r_px = jnp.full((bp.shape[0],), 1.0)
+        buf = _splat(buf, xy, d01, vz, jnp.full((bp.shape[0],), BORDER_COLOR_ID),
+                     front, width, height, r_px, 3)
+
+    xy, d01, front, vz = _project(positions, vm, pm)
+    r_px = (SPRITE_WORLD_SIZE * 0.5) * focal_px / jnp.maximum(vz, 1e-6)
+    # min radius > sqrt(2)/2 so a sub-pixel splat centered on a pixel corner
+    # still covers at least one pixel center
+    r_px = jnp.clip(r_px, 0.75, footprint / 2.0)
+    buf = _splat(buf, xy, d01, vz, species, front, width, height, r_px,
+                 footprint)
+
+    img_keys = buf[:-1].reshape(height, width)
+    ids = img_keys & 0xFF
+    empty = img_keys == jnp.int32(0x7FFFFFFF)
+    ids = jnp.where(empty, BACKGROUND_ID, ids)
+
+    palette = jnp.zeros((256, 3), jnp.float32)
+    colors = jnp.asarray(cfg.colors, jnp.float32)
+    palette = jax.lax.dynamic_update_slice(palette, colors, (0, 0))
+    palette = palette.at[BORDER_COLOR_ID].set(jnp.array([0.6, 0.6, 0.6]))
+    palette = palette.at[BACKGROUND_ID].set(jnp.array([0.02, 0.02, 0.03]))
+    img = palette[ids]
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
