@@ -1,0 +1,201 @@
+"""Interactive simulation driver — the TPU-native ``SimulationApp``.
+
+Mirrors the reference app shell (``src/bin/main.rs:111-484``):
+
+  * fixed-timestep accumulator at ``update_rate`` TPS with capped catch-up of
+    at most 5 physics steps per frame (main.rs:183-202, quirk Q10),
+  * every live control of the egui side panel + properties window
+    (main.rs:250-404): particle count, world size, update rate, walls,
+    effect radius, interaction force, drag, repulsion threshold, gravity,
+    per-species colors, and the full attraction matrix,
+  * WASD/QE + arrow camera control (main.rs:208-247),
+  * frame rendering (on-device splats) and wall-clock metrics labels
+    (FPS / frame time / update time, main.rs:253-258).
+
+Steps can be batched on device (``steps_per_call``) so interactive physics
+doesn't pay one dispatch per step.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig, ConfigError
+from ..state import ParticleState, init_scene, resize
+from ..engine.step import step, simulate, warmup
+from ..render.camera import (
+    Camera, default_camera, camera_axes, move_camera, rotate_camera,
+)
+from ..render.splat import render_frame
+from ..utils.metrics import measure_metrics
+from ..utils.profiling import StepTimer
+from ..utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+class SimulationApp:
+    def __init__(self, state: ParticleState | None = None,
+                 cfg: SimConfig | None = None, *, n: int = 1000,
+                 seed: int = 0, update_rate: float = 60.0):
+        self.cfg = (cfg or SimConfig()).validate()
+        self._key = jax.random.PRNGKey(seed)
+        if state is None:
+            self._key, k = jax.random.split(self._key)
+            state = init_scene(k, n, self.cfg)
+        self.state = warmup(state, self.cfg)
+        self.camera = default_camera(float(np.asarray(self.cfg.world_size)))
+        self.update_rate = update_rate  # TPS (main.rs:164: default 60)
+        self._accum = 0.0
+        self._last_time: float | None = None
+        self.step_index = 0
+        self.update_timer = StepTimer()
+        self.frame_timer = StepTimer()
+
+    # ------------------------------------------------------------------ #
+    # frame loop (C14)
+    # ------------------------------------------------------------------ #
+    def tick(self, real_dt: float | None = None, max_catchup: int = 5) -> int:
+        """Advance wall-clock time; run 0..max_catchup fixed physics steps
+        (reference catch-up rule, main.rs:192-202). Returns steps run."""
+        now = time.perf_counter()
+        if real_dt is None:
+            real_dt = 0.0 if self._last_time is None else now - self._last_time
+        self._last_time = now
+        self._accum += real_dt
+        dt = 1.0 / self.update_rate
+        n_steps = 0
+        if self._accum >= dt:
+            n_steps = min(int(self._accum * self.update_rate), max_catchup)
+        if n_steps:
+            with self.update_timer:
+                self.run_steps(n_steps)
+            self._accum -= n_steps * dt
+        return n_steps
+
+    def run_steps(self, n_steps: int) -> None:
+        """Run n_steps at the fixed timestep, batched on device."""
+        dt = jnp.float32(1.0 / self.update_rate)
+        self.state = simulate(self.state, self.cfg, dt, n_steps)
+        jax.block_until_ready(self.state.positions)
+        self.step_index += n_steps
+
+    # ------------------------------------------------------------------ #
+    # live controls (C15/C16)
+    # ------------------------------------------------------------------ #
+    def set_particle_count(self, n: int) -> None:
+        """Truncate or extend with fresh random particles (main.rs:261-280)."""
+        if n == self.state.n:
+            return
+        self._key, k = jax.random.split(self._key)
+        self.state = resize(self.state, k, n, self.cfg)
+
+    def set_world_size(self, w: float) -> None:
+        """Clamped to >= 2*radius, like the UI (main.rs:287-291)."""
+        r = float(np.asarray(self.cfg.particle_effect_radius))
+        self.cfg = self.cfg.replace(world_size=max(float(w), 2.0 * r))
+
+    def set_update_rate(self, tps: float) -> None:
+        self.update_rate = float(np.clip(tps, 1.0, 1000.0))  # main.rs:296
+
+    def set_walls(self, walls: bool) -> None:
+        self.cfg = self.cfg.replace(boundary="clamp" if walls else "wrap")
+
+    def set_effect_radius(self, r: float) -> None:
+        w = float(np.asarray(self.cfg.world_size))
+        self.cfg = self.cfg.replace(
+            particle_effect_radius=float(np.clip(r, 1e-3, w / 2.0)))
+
+    def set_interaction_force(self, f: float) -> None:
+        self.cfg = self.cfg.replace(interaction_force=float(np.clip(f, 0.0, 10.0)))
+
+    def set_drag(self, c: float) -> None:
+        self.cfg = self.cfg.replace(coefficient=float(np.clip(c, 0.0, 1.0)))
+
+    def set_min_pull_ratio(self, m: float) -> None:
+        self.cfg = self.cfg.replace(min_pull_ratio=float(np.clip(m, 1e-4, 1.0)))
+
+    def set_gravity(self, x: float, y: float, z: float) -> None:
+        self.cfg = self.cfg.replace(
+            acceleration=np.array([x, y, z], np.float32))
+
+    def set_color(self, species: int, rgb) -> None:
+        colors = np.asarray(self.cfg.colors).copy()
+        colors[species] = np.asarray(rgb, np.float32)
+        self.cfg = self.cfg.replace(colors=colors)
+
+    def set_attraction(self, i: int, j: int, value: float) -> None:
+        """UI clamps edits to [-1, 1] (main.rs:398, quirk Q5)."""
+        m = np.asarray(self.cfg.attraction_matrix).copy()
+        m[i, j] = float(np.clip(value, -1.0, 1.0))
+        self.cfg = self.cfg.replace(attraction_matrix=m)
+
+    def set_attraction_matrix(self, m) -> None:
+        m = np.asarray(m, np.float32)
+        if m.shape != (self.cfg.id_count, self.cfg.id_count):
+            raise ConfigError(f"attraction matrix must be "
+                              f"{(self.cfg.id_count,) * 2}, got {m.shape}")
+        self.cfg = self.cfg.replace(attraction_matrix=m)
+
+    # ------------------------------------------------------------------ #
+    # camera (C13)
+    # ------------------------------------------------------------------ #
+    def handle_keys(self, keys: set[str], dt: float) -> None:
+        """WASD/QE translate, arrows rotate (main.rs:208-247)."""
+        fwd, right, up = camera_axes(self.camera)
+        cam = self.camera
+        if "w" in keys:
+            cam = move_camera(cam, dt, fwd)
+        if "s" in keys:
+            cam = move_camera(cam, dt, -fwd)
+        if "a" in keys:
+            cam = move_camera(cam, dt, -right)
+        if "d" in keys:
+            cam = move_camera(cam, dt, right)
+        if "q" in keys:
+            cam = move_camera(cam, dt, -up)
+        if "e" in keys:
+            cam = move_camera(cam, dt, up)
+        rot = 90.0 * dt  # ROTATION_SPEED
+        if "up" in keys:
+            cam = rotate_camera(cam, rot, 0.0)
+        if "down" in keys:
+            cam = rotate_camera(cam, -rot, 0.0)
+        if "left" in keys:
+            cam = rotate_camera(cam, 0.0, -rot)
+        if "right" in keys:
+            cam = rotate_camera(cam, 0.0, rot)
+        self.camera = cam
+
+    # ------------------------------------------------------------------ #
+    # output
+    # ------------------------------------------------------------------ #
+    def render(self, width: int = 640, height: int = 480) -> np.ndarray:
+        with self.frame_timer:
+            img = render_frame(self.state.positions, self.state.species,
+                               self.cfg, self.camera, width, height)
+            img = np.asarray(img)
+        return img
+
+    def metrics(self) -> dict:
+        m = measure_metrics(self.state).as_dict()
+        m.update(
+            n=self.state.n,
+            step_index=self.step_index,
+            update_ms=self.update_timer.ema_ms,
+            frame_ms=self.frame_timer.ema_ms,
+            update_rate=self.update_rate,
+        )
+        return m
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, self.state, self.cfg, self.step_index)
+
+    @classmethod
+    def load(cls, path: str) -> "SimulationApp":
+        state, cfg, step_index, _ = load_checkpoint(path)
+        app = cls(state=state, cfg=cfg)
+        app.step_index = step_index
+        return app

@@ -98,6 +98,11 @@ class SimConfig:
 
     # --- static structural fields ---
     id_count: int = 5
+    # cell-list geometry must be compile-time static (XLA shapes); None means
+    # "derive from concrete world_size/radius at call time" — set explicitly
+    # when config values are traced (e.g. inside jit/scan).
+    cell_grid: int | None = None
+    cell_capacity: int | None = None
     force_law: str = "particle_life"
     integrator: str = "euler"
     boundary: str = "wrap"  # reference: walls=False -> wrap, True -> clamp
@@ -184,7 +189,7 @@ class SimConfig:
 
 
 _ALL_FIELDS = [f.name for f in dataclasses.fields(SimConfig)]
-_META_FIELDS = ["id_count", "force_law", "integrator", "boundary", "neighbor", "wrap_forces"]
+_META_FIELDS = ["id_count", "force_law", "integrator", "boundary", "neighbor", "wrap_forces", "cell_grid", "cell_capacity"]
 _DATA_FIELDS = [n for n in _ALL_FIELDS if n not in _META_FIELDS]
 
 jax.tree_util.register_dataclass(

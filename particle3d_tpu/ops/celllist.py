@@ -116,7 +116,12 @@ def celllist_forces(positions, u, v, cfg: SimConfig,
     """
     n = positions.shape[0]
     if nc is None:
-        # static given concrete config floats; traced configs must pass nc
+        nc = cfg.cell_grid
+    if capacity is None:
+        capacity = cfg.cell_capacity
+    if nc is None:
+        # static given concrete config floats; traced configs must set
+        # cfg.cell_grid (static meta field) or pass nc explicitly
         nc = grid_dims(float(cfg.world_size), float(cfg.particle_effect_radius))
     if nc < 3:
         from .allpairs import allpairs_forces
