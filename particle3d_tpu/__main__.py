@@ -1,0 +1,141 @@
+"""Command-line interface.
+
+    python -m particle3d_tpu run    --preset reference --steps 600 --gif out.gif
+    python -m particle3d_tpu serve  --preset reference --port 8000
+    python -m particle3d_tpu bench  [--preset particle_life_large]
+    python -m particle3d_tpu presets
+    python -m particle3d_tpu resume --checkpoint ck.npz --steps 100
+
+The reference has no CLI at all (configuration lives in a struct literal,
+src/bin/main.rs:123-148); this is the batch/production front end next to the
+interactive server.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_run(a):
+    import jax
+
+    from .models import make_scene
+    from .engine.step import simulate, warmup
+    from .app.headless import render_trajectory, save_gif
+    from .utils.checkpoint import save_checkpoint
+    from .utils.metrics import measure_metrics
+
+    state, cfg, dt = make_scene(a.preset, jax.random.PRNGKey(a.seed), n=a.n)
+    if a.dt:
+        dt = a.dt
+    t0 = time.perf_counter()
+    if a.gif:
+        state, frames = render_trajectory(
+            state, cfg, dt, a.steps, snapshot_every=a.snapshot_every,
+            width=a.width, height=a.height)
+        save_gif(frames, a.gif, fps=a.fps)
+        print(f"wrote {a.gif} ({frames.shape[0]} frames)")
+    else:
+        state = warmup(state, cfg)
+        state = simulate(state, cfg, dt, a.steps)
+        jax.block_until_ready(state.positions)
+    el = time.perf_counter() - t0
+    m = measure_metrics(state).as_dict()
+    print(json.dumps({"preset": a.preset, "n": state.n, "steps": a.steps,
+                      "wall_s": round(el, 3),
+                      "steps_per_s": round(a.steps / el, 2), **m}))
+    if a.checkpoint:
+        save_checkpoint(a.checkpoint, state, cfg, a.steps)
+        print(f"wrote {a.checkpoint}")
+
+
+def _cmd_resume(a):
+    import jax
+
+    from .engine.step import simulate, warmup
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.metrics import measure_metrics
+
+    state, cfg, step0, _ = load_checkpoint(a.checkpoint)
+    state = warmup(state, cfg)
+    state = simulate(state, cfg, a.dt, a.steps)
+    jax.block_until_ready(state.positions)
+    print(json.dumps({"resumed_from": step0, "now": step0 + a.steps,
+                      **measure_metrics(state).as_dict()}))
+    out = a.out or a.checkpoint
+    save_checkpoint(out, state, cfg, step0 + a.steps)
+    print(f"wrote {out}")
+
+
+def _cmd_serve(a):
+    from .app.server import main as serve_main
+
+    argv = ["--preset", a.preset, "--port", str(a.port), "--host", a.host]
+    if a.n:
+        argv += ["--n", str(a.n)]
+    serve_main(argv)
+
+
+def _cmd_bench(a):
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py"), run_name="__main__")
+
+
+def _cmd_presets(a):
+    from .models import list_presets
+
+    for p in list_presets():
+        print(p)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="particle3d_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a trajectory headlessly")
+    r.add_argument("--preset", default="reference")
+    r.add_argument("--n", type=int, default=None)
+    r.add_argument("--steps", type=int, default=600)
+    r.add_argument("--dt", type=float, default=None)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--gif", default=None)
+    r.add_argument("--snapshot-every", type=int, default=4)
+    r.add_argument("--fps", type=int, default=20)
+    r.add_argument("--width", type=int, default=480)
+    r.add_argument("--height", type=int, default=360)
+    r.add_argument("--checkpoint", default=None)
+    r.set_defaults(fn=_cmd_run)
+
+    s = sub.add_parser("serve", help="interactive browser UI")
+    s.add_argument("--preset", default="reference")
+    s.add_argument("--n", type=int, default=None)
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--host", default="127.0.0.1")
+    s.set_defaults(fn=_cmd_serve)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.set_defaults(fn=_cmd_bench)
+
+    c = sub.add_parser("resume", help="resume from a checkpoint")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--steps", type=int, default=100)
+    c.add_argument("--dt", type=float, default=1.0 / 60.0)
+    c.add_argument("--out", default=None)
+    c.set_defaults(fn=_cmd_resume)
+
+    ls = sub.add_parser("presets", help="list scene presets")
+    ls.set_defaults(fn=_cmd_presets)
+
+    a = p.parse_args(argv)
+    a.fn(a)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,8 @@ reference's rayon per-particle neighbor loop (``src/lib.rs:171-243``). Design
 
   * 2-D grid over (receiver tiles, outer source blocks); the output block for
     a receiver tile stays resident in VMEM across the whole source sweep and
-    is accumulated in place (classic reduction grid).
+    is accumulated in place (classic reduction grid — the source dimension is
+    the innermost/fastest grid axis, so revisits are consecutive).
   * each grid step loads a large source block into VMEM once and an inner
     ``fori_loop`` walks it in lane-aligned subtiles — amortizing grid/DMA
     overhead so the VPU stays busy on pairwise math.
@@ -15,11 +16,17 @@ reference's rayon per-particle neighbor loop (``src/lib.rs:171-243``). Design
     (``forces.pair_features``) — no per-pair gathers.
   * periodic wrap uses the minimum-image convention, equivalent to the
     reference's 27-image sweep given ``world >= 2*radius`` (src/lib.rs:132).
+  * VPU op-count discipline: the padding mask and radius gate are folded into
+    one streamed per-source row ``r2row`` (r^2 for real sources, -1 for
+    padding — one compare replaces iota+add+compare+and); for particle-life
+    the cutoff is also clamped to 1.0 (force is zero at raw distance >= 1,
+    reference quirk Q2, src/lib.rs:59) which removes the d<1 test from the
+    triangular branch; reciprocal scalars are precomputed outside.
   * partial accumulators are carried per-subtile as [TI, TJ] tiles and
     lane-reduced once per grid step (cheap reductions off the inner loop).
 
-Padding rows/columns are masked by global source index; padded receiver rows
-compute garbage that is sliced off on return.
+Padding receiver rows compute garbage that is sliced off on return; padded
+source columns are killed by ``r2row = -1``.
 """
 
 from __future__ import annotations
@@ -37,72 +44,96 @@ from . import forces as F
 # Feature dim for the rank-1 pair coefficients, padded for f32 sublane tiling.
 PAIR_P = 8
 
-# Default tile geometry (tuned for v5 VMEM: ~[TI, TJ] f32 intermediates).
+# Default tile geometry (tuned on v5e; see examples/tune_pallas.py).
 DEFAULT_TI = 256
 DEFAULT_TJ = 512
 DEFAULT_SUBTILES = 16  # source block = TJ * SUBTILES columns per grid step
 
+# packed scalar param layout (SMEM)
+_PF_W = 0        # world size
+_PF_INV_W = 1    # 1 / world
+_PF_M = 2        # min_pull_ratio
+_PF_INV_M = 3    # 1 / min_pull_ratio
+_PF_INV_1M = 4   # 1 / (1 - min_pull_ratio)
+_PF_C1M = 5      # 1 + min_pull_ratio
+_PF_LJ24E = 6    # 24 * lj_epsilon
+_PF_LJ_S2 = 7    # lj_sigma^2
+_PF_G = 8        # gravity constant
+_PF_G_S2 = 9     # gravity softening^2
+_PF_K = 10       # spring stiffness
+_PF_L = 11       # spring rest length
+_PF_LEN = 12
 
-def _scale(law: str, d2, coef, pf):
-    """In-kernel s = f(d)/d from the SQUARED distance (see forces.scale_fn);
-    pf is the packed scalar param vector. Gravity/LJ avoid sqrt entirely."""
+
+def _inv_sqrt(d2, use_rsqrt: bool):
+    """(inv_d, d). TPU's rsqrt is accurate; interpret/CPU mode uses exact
+    sqrt + divide (XLA CPU rsqrt is a coarse approximation)."""
+    if use_rsqrt:
+        inv_d = jax.lax.rsqrt(d2)
+        return inv_d, d2 * inv_d
+    d = jnp.sqrt(d2)
+    return 1.0 / d, d
+
+
+def _scale(law: str, d2, coef, pf, valid, use_rsqrt: bool):
+    """masked s = f(d)/d from the SQUARED distance (see forces.scale_fn)."""
     if law == "particle_life":
-        m = pf[2]
-        d = jnp.sqrt(d2)
-        repel = d / m - 1.0
-        tri = coef * (1.0 - jnp.abs(2.0 * d - 1.0 - m) / (1.0 - m))
-        mid = jnp.logical_and(m < d, d < 1.0)
-        return jnp.where(d < m, repel, jnp.where(mid, tri, 0.0)) / d
+        inv_d, d = _inv_sqrt(d2, use_rsqrt)
+        # repulsion (d < m): f/d = (d/m - 1)/d = 1/m - 1/d
+        rep = pf[_PF_INV_M] - inv_d
+        # triangular (m < d < 1): d < 1 is implied by the r2row cutoff
+        tri = coef * ((1.0 - jnp.abs(2.0 * d - pf[_PF_C1M]) * pf[_PF_INV_1M]) * inv_d)
+        m = pf[_PF_M]
+        return jnp.where(
+            jnp.logical_and(valid, d < m), rep,
+            jnp.where(jnp.logical_and(valid, m < d), tri, 0.0))
     if law == "lennard_jones":
-        eps, sig = pf[3], pf[4]
-        a = sig * sig / d2
+        inv_d2 = 1.0 / d2
+        a = pf[_PF_LJ_S2] * inv_d2
         a3 = a * a * a
-        return coef * (24.0 * eps / d2) * (a3 - 2.0 * a3 * a3)
+        s = coef * (pf[_PF_LJ24E] * inv_d2) * (a3 - 2.0 * a3 * a3)
+        return jnp.where(valid, s, 0.0)
     if law == "gravity":
-        g, soft = pf[5], pf[6]
-        dd2 = d2 + soft * soft
-        return coef * g / (dd2 * jnp.sqrt(dd2))
+        dd2 = d2 + pf[_PF_G_S2]
+        inv, _ = _inv_sqrt(dd2, use_rsqrt)
+        s = coef * pf[_PF_G] * (inv * inv * inv)
+        return jnp.where(valid, s, 0.0)
     if law == "spring":
-        k, L = pf[7], pf[8]
-        d = jnp.sqrt(d2)
-        return coef * k * (d - L) / d
+        inv_d, d = _inv_sqrt(d2, use_rsqrt)
+        s = coef * pf[_PF_K] * (1.0 - pf[_PF_L] * inv_d)
+        return jnp.where(valid, s, 0.0)
     raise ValueError(law)
 
 
-def _kernel(pf_ref, n_ref, pos_i_ref, pos_jt_ref, u_ref, vt_ref, out_ref,
-            *, law: str, wrap: bool, ti: int, tj: int, subtiles: int):
+def _kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, vt_ref, r2row_ref, out_ref,
+            *, law: str, wrap: bool, ti: int, tj: int, subtiles: int,
+            use_rsqrt: bool):
     jo = pl.program_id(1)
-    w = pf_ref[0]
-    r2 = pf_ref[1]
-    n = n_ref[0]
+    w = pf_ref[_PF_W]
+    inv_w = pf_ref[_PF_INV_W]
 
     xi = pos_i_ref[:, 0:1]  # [TI, 1]
     yi = pos_i_ref[:, 1:2]
     zi = pos_i_ref[:, 2:3]
     u = u_ref[:]  # [TI, P]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    j_block_base = jo * (tj * subtiles)
-
     def body(s, acc):
         ax, ay, az = acc
         col = pl.ds(s * tj, tj)
-        xj = pos_jt_ref[0:1, col]  # [1, TJ]
-        yj = pos_jt_ref[1:2, col]
-        zj = pos_jt_ref[2:3, col]
-        dx = xj - xi  # [TI, TJ], i -> j
-        dy = yj - yi
-        dz = zj - zi
+        dx = pos_jt_ref[0:1, col] - xi  # [TI, TJ], i -> j
+        dy = pos_jt_ref[1:2, col] - yi
+        dz = pos_jt_ref[2:3, col] - zi
         if wrap:
-            dx = dx - w * jnp.round(dx / w)
-            dy = dy - w * jnp.round(dy / w)
-            dz = dz - w * jnp.round(dz / w)
+            dx = dx - jnp.round(dx * inv_w) * w
+            dy = dy - jnp.round(dy * inv_w) * w
+            dz = dz - jnp.round(dz * inv_w) * w
         d2 = dx * dx + dy * dy + dz * dz
-        jg = j_block_base + s * tj + lane
-        valid = jnp.logical_and(jnp.logical_and(d2 > 0.0, d2 < r2), jg < n)
+        # r2row: r^2 (clamped to 1 for particle-life) for real sources,
+        # -1 for padding — one compare does radius gate + padding mask
+        valid = jnp.logical_and(d2 > 0.0, d2 < r2row_ref[0:1, col])
         coef = jnp.dot(u, vt_ref[:, col], preferred_element_type=jnp.float32)
         safe = jnp.where(valid, d2, 1.0)
-        sca = jnp.where(valid, _scale(law, safe, coef, pf_ref), 0.0)
+        sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
         return ax + dx * sca, ay + dy * sca, az + dz * sca
 
     zero = jnp.zeros((ti, tj), jnp.float32)
@@ -137,7 +168,7 @@ def _round_to(n, m):
     jax.jit,
     static_argnames=("law", "wrap", "ti", "tj", "subtiles", "interpret"),
 )
-def _call(pos, u, src_pos, src_v, params_f, n_arr, law, wrap, ti, tj,
+def _call(pos, u, src_pos, src_v, params_f, r2_gate, law, wrap, ti, tj,
           subtiles, interpret):
     n = pos.shape[0]
     n_src = src_pos.shape[0]
@@ -150,22 +181,26 @@ def _call(pos, u, src_pos, src_v, params_f, n_arr, law, wrap, ti, tj,
     v_p = _pad_rows(src_v.astype(jnp.float32), np_j)
     pos_jt = _pad_rows(src_pos.astype(jnp.float32), np_j).T  # [3, Np_j]
     vt = v_p.T  # [P, Np_j]
+    # radius gate + padding mask in one row (see module docstring)
+    r2row = jnp.full((1, np_j), -1.0, jnp.float32)
+    r2row = r2row.at[:, :n_src].set(r2_gate.astype(jnp.float32))
 
     grid = (np_i // ti, np_j // jblock)
     p = u_p.shape[1]
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, law=law, wrap=wrap, ti=ti, tj=tj, subtiles=subtiles
+            _kernel, law=law, wrap=wrap, ti=ti, tj=tj, subtiles=subtiles,
+            use_rsqrt=not interpret,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params_f
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # n
             pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, jblock), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, p), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((p, jblock), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jblock), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_i, 3), jnp.float32),
@@ -178,7 +213,7 @@ def _call(pos, u, src_pos, src_v, params_f, n_arr, law, wrap, ti, tj,
             transcendentals=int(np_i) * int(np_j),
         ),
         interpret=interpret,
-    )(params_f, n_arr, pos_p, pos_jt, u_p, vt)
+    )(params_f, pos_p, pos_jt, u_p, vt, r2row)
     return out[:n]
 
 
@@ -188,21 +223,37 @@ def _use_interpret() -> bool:
 
 def pack_params(cfg: SimConfig):
     """Scalar param vector consumed by the kernel (SMEM)."""
-    return jnp.stack(
-        [
-            jnp.asarray(cfg.world_size, jnp.float32),
-            jnp.asarray(
-                cfg.particle_effect_radius * cfg.particle_effect_radius, jnp.float32
-            ),
-            jnp.asarray(cfg.min_pull_ratio, jnp.float32),
-            jnp.asarray(cfg.lj_epsilon, jnp.float32),
-            jnp.asarray(cfg.lj_sigma, jnp.float32),
-            jnp.asarray(cfg.gravity_constant, jnp.float32),
-            jnp.asarray(cfg.gravity_softening, jnp.float32),
-            jnp.asarray(cfg.spring_stiffness, jnp.float32),
-            jnp.asarray(cfg.spring_rest_length, jnp.float32),
-        ]
-    )
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    w = f32(cfg.world_size)
+    m = f32(cfg.min_pull_ratio)
+    eps = f32(cfg.lj_epsilon)
+    sig = f32(cfg.lj_sigma)
+    soft = f32(cfg.gravity_softening)
+    return jnp.stack([
+        w,
+        1.0 / w,
+        m,
+        1.0 / m,
+        1.0 / (1.0 - m),
+        1.0 + m,
+        24.0 * eps,
+        sig * sig,
+        f32(cfg.gravity_constant),
+        soft * soft,
+        f32(cfg.spring_stiffness),
+        f32(cfg.spring_rest_length),
+    ])
+
+
+def _r2_gate(cfg: SimConfig):
+    r = jnp.asarray(cfg.particle_effect_radius, jnp.float32)
+    r2 = r * r
+    if cfg.force_law == "particle_life":
+        # force is identically zero at raw distance >= 1 (quirk Q2), so the
+        # effective cutoff is min(radius, 1) — fewer pairs survive the gate
+        # and the in-kernel d<1 test disappears.
+        r2 = jnp.minimum(r2, 1.0)
+    return r2
 
 
 def pallas_allpairs_forces(
@@ -243,10 +294,10 @@ def pallas_allpairs_forces(
         pad = PAIR_P - u.shape[1]
         u = jnp.pad(u, ((0, 0), (0, pad)))
         v = jnp.pad(v, ((0, 0), (0, pad)))
-        src_v = jnp.pad(src_v, ((0, 0), (0, pad))) if src_v.shape[1] < PAIR_P else src_v
+        src_v = jnp.pad(src_v, ((0, 0), (0, PAIR_P - src_v.shape[1]))) \
+            if src_v.shape[1] < PAIR_P else src_v
     params_f = pack_params(cfg)
-    n_arr = jnp.asarray([n_src], jnp.int32)
     return _call(
-        positions, u, src_positions, src_v, params_f, n_arr,
+        positions, u, src_positions, src_v, params_f, _r2_gate(cfg),
         cfg.force_law, bool(cfg.wrap_forces), ti, tj, subtiles, interpret,
     )

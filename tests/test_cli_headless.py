@@ -1,0 +1,59 @@
+"""CLI and headless export surfaces."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+from particle3d_tpu.app.headless import render_trajectory, save_gif
+from particle3d_tpu.models import make_scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def _cli(*args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "particle3d_tpu", *args],
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=timeout)
+
+
+def test_cli_presets_lists():
+    r = _cli("presets")
+    assert r.returncode == 0
+    assert "reference" in r.stdout and "lj_gas" in r.stdout
+
+
+def test_cli_run_and_resume(tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    r = _cli("run", "--preset", "reference", "--n", "128", "--steps", "30",
+             "--checkpoint", ck)
+    assert r.returncode == 0, r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][0]
+    out = json.loads(line)
+    assert out["n"] == 128 and out["steps"] == 30
+    assert os.path.exists(ck)
+
+    r2 = _cli("resume", "--checkpoint", ck, "--steps", "10")
+    assert r2.returncode == 0, r2.stderr
+    line2 = [l for l in r2.stdout.splitlines() if l.startswith("{")][0]
+    out2 = json.loads(line2)
+    assert out2["resumed_from"] == 30 and out2["now"] == 40
+
+
+def test_headless_gif_export(tmp_path):
+    state, cfg, dt = make_scene("reference", n=96)
+    final, frames = render_trajectory(state, cfg, dt, 12, snapshot_every=4,
+                                      width=120, height=90)
+    assert frames.shape == (3, 90, 120, 3)
+    gif = str(tmp_path / "out.gif")
+    save_gif(frames, gif, fps=10)
+    assert os.path.getsize(gif) > 500
+    from PIL import Image
+
+    im = Image.open(gif)
+    assert im.n_frames == 3
