@@ -57,6 +57,40 @@ def ring_forces(positions, u, v, cfg: SimConfig, axis: str = AXIS):
     return acc
 
 
+def ring_forces_2level(positions, u, v, cfg: SimConfig,
+                       ici_axis: str = AXIS, dcn_axis: str = "dcn"):
+    """Hierarchical ring for 2-D (hosts x chips) meshes: the source block
+    circulates the fast ICI ring within each host group; after each full ICI
+    revolution it hops once across the DCN axis. Total hops = D_ici * D_dcn,
+    but only D_dcn of them cross the slow interconnect — DCN traffic is
+    1/D_ici of a naive flat ring. Call inside shard_map over both axes."""
+    d_ici = jax.lax.axis_size(ici_axis)
+    d_dcn = jax.lax.axis_size(dcn_axis)
+    perm_ici = [(i, (i + 1) % d_ici) for i in range(d_ici)]
+    perm_dcn = [(i, (i + 1) % d_dcn) for i in range(d_dcn)]
+
+    def outer(_, carry):
+        acc, src_pos, src_v = carry
+
+        def inner(_, c):
+            a, sp, sv = c
+            np_ = jax.lax.ppermute(sp, ici_axis, perm_ici)
+            nv_ = jax.lax.ppermute(sv, ici_axis, perm_ici)
+            a = a + _block_forces(positions, u, sp, sv, cfg)
+            return a, np_, nv_
+
+        acc, src_pos, src_v = jax.lax.fori_loop(
+            0, d_ici, inner, (acc, src_pos, src_v))
+        # one DCN hop per completed ICI revolution
+        src_pos = jax.lax.ppermute(src_pos, dcn_axis, perm_dcn)
+        src_v = jax.lax.ppermute(src_v, dcn_axis, perm_dcn)
+        return acc, src_pos, src_v
+
+    acc0 = jnp.zeros_like(positions)
+    acc, _, _ = jax.lax.fori_loop(0, d_dcn, outer, (acc0, positions, v))
+    return acc
+
+
 def _ring_accel(positions, state: ParticleState, cfg: SimConfig, axis: str):
     u, v = F.pair_features(state, cfg)
     f = ring_forces(positions, u, v, cfg, axis=axis)
