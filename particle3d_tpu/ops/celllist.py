@@ -54,23 +54,47 @@ def _cell_ids(positions, cfg: SimConfig, nc: int):
     return (idx[:, 0] * nc + idx[:, 1]) * nc + idx[:, 2]
 
 
-def _neighbor_table(nc: int, wrap: bool):
-    """[C, 27] neighbor cell ids (and validity mask for non-wrap edges)."""
+def _supercell_tables(nc: int, g: int, wrap: bool):
+    """Supercell blocking tables (the cluster-pair idea): group g^3 small
+    cells into one supercell; its receivers sweep the (g+2)^3 small cells of
+    the supercell plus a 1-cell halo. g=1 reduces to the classic per-cell
+    27-neighborhood. Returns (own [S, g^3], nbr [S, (g+2)^3], nbr_valid).
+
+    Larger g trades more candidate tests per receiver ((g+2)^3/27 vs g=1)
+    for far fatter, VPU-friendly tiles — g=2 gives (8*cap x 64*cap) sweeps,
+    ~2.4x the tests of g=1 at many times the per-op efficiency.
+    """
     import numpy as np
 
-    coords = np.stack(np.meshgrid(np.arange(nc), np.arange(nc), np.arange(nc),
-                                  indexing="ij"), -1).reshape(-1, 3)
-    offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
-                                indexing="ij"), -1).reshape(-1, 3)
-    nb = coords[:, None, :] + offs[None, :, :]  # [C, 27, 3]
+    assert nc % g == 0, (nc, g)
+    ns = nc // g
+    base = np.stack(np.meshgrid(np.arange(ns), np.arange(ns), np.arange(ns),
+                                indexing="ij"), -1).reshape(-1, 3) * g  # [S,3]
+    intra = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3)  # [g^3, 3]
+    own = base[:, None, :] + intra[None, :, :]  # [S, g^3, 3]
+    halo = np.stack(np.meshgrid(*[np.arange(-1, g + 1)] * 3, indexing="ij"),
+                    -1).reshape(-1, 3)  # [(g+2)^3, 3]
+    nbr = base[:, None, :] + halo[None, :, :]  # [S, (g+2)^3, 3]
     if wrap:
-        nbm = nb % nc
-        valid = np.ones(nb.shape[:2], bool)
+        nbr_m = nbr % nc
+        valid = np.ones(nbr.shape[:2], bool)
     else:
-        valid = np.all((nb >= 0) & (nb < nc), axis=-1)
-        nbm = np.clip(nb, 0, nc - 1)
-    ids = (nbm[..., 0] * nc + nbm[..., 1]) * nc + nbm[..., 2]
-    return jnp.asarray(ids, jnp.int32), jnp.asarray(valid)
+        valid = np.all((nbr >= 0) & (nbr < nc), axis=-1)
+        nbr_m = np.clip(nbr, 0, nc - 1)
+
+    def ravel(a):
+        return (a[..., 0] * nc + a[..., 1]) * nc + a[..., 2]
+
+    return (jnp.asarray(ravel(own), jnp.int32),
+            jnp.asarray(ravel(nbr_m), jnp.int32),
+            jnp.asarray(valid))
+
+
+def _neighbor_table(nc: int, wrap: bool):
+    """[C, 27] neighbor cell ids (g=1 supercell tables, kept for tests)."""
+    _, nbr, valid = _supercell_tables(nc, 1, wrap)
+    return nbr, valid
 
 
 def build_cell_list(positions, cfg: SimConfig, nc: int, capacity: int):
@@ -107,7 +131,7 @@ def celllist_stats(positions, cfg: SimConfig, nc: int | None = None,
 
 def celllist_forces(positions, u, v, cfg: SimConfig,
                     nc: int | None = None, capacity: int | None = None,
-                    cell_batch: int = 512):
+                    cell_batch: int = 512, group: int | None = None):
     """Accumulated pair forces [N,3] via the cell list.
 
     Falls back to the 27-neighborhood sweep per cell; identical semantics to
@@ -133,50 +157,73 @@ def celllist_forces(positions, u, v, cfg: SimConfig,
     scale = F.scale_fn(cfg)
     r2 = cfg.particle_effect_radius * cfg.particle_effect_radius
 
+    if group is None:
+        group = 2 if nc % 2 == 0 and nc >= 4 else 1
+    while nc % group:
+        group -= 1
+    g3 = group ** 3
+    h3 = (group + 2) ** 3
+    ns3 = (nc // group) ** 3  # number of supercells
+
     slot_idx, _ = build_cell_list(positions, cfg, nc, capacity)  # [C, CAP]
     present = slot_idx >= 0
     safe_idx = jnp.where(present, slot_idx, 0)
     cell_pos = positions[safe_idx]  # [C, CAP, 3]
     cell_u = u[safe_idx]  # [C, CAP, P]
     cell_v = v[safe_idx]
-    nb_ids, nb_valid = _neighbor_table(nc, bool(cfg.wrap_forces))  # [C, 27]
+    own_ids, nb_ids, nb_valid = _supercell_tables(
+        nc, group, bool(cfg.wrap_forces))  # [S,g^3], [S,h^3], [S,h^3]
+
+    nrec = g3 * capacity
+    nsrc = h3 * capacity
 
     def one_batch(args):
-        rec_pos, rec_u, rec_present, nb, nbv = args
-        # sources: gather 27 neighbor cells -> [B, 27*CAP, ...]
-        b = rec_pos.shape[0]
-        src_pos = cell_pos[nb].reshape(b, 27 * capacity, 3)
-        src_v = cell_v[nb].reshape(b, 27 * capacity, -1)
+        own, nb, nbv = args
+        b = own.shape[0]
+        rec_pos = cell_pos[own].reshape(b, nrec, 3)
+        rec_u = cell_u[own].reshape(b, nrec, -1)
+        rec_present = present[own].reshape(b, nrec)
+        src_pos = cell_pos[nb].reshape(b, nsrc, 3)
+        src_v = cell_v[nb].reshape(b, nsrc, -1)
         src_present = jnp.logical_and(present[nb], nbv[..., None]).reshape(
-            b, 27 * capacity)
-        delta = src_pos[:, None, :, :] - rec_pos[:, :, None, :]  # [B,CAP,27CAP,3]
-        if cfg.wrap_forces:
-            delta = F.min_image(delta, cfg.world_size)
-        d2 = jnp.sum(delta * delta, axis=-1)
+            b, nsrc)
+        # per-axis math (no [B,R,S,3] tensors): the whole elementwise chain
+        # between the gathers and the source-axis reductions fuses in XLA
+        w = cfg.world_size
+
+        def axis_delta(c):
+            d = src_pos[:, None, :, c] - rec_pos[:, :, None, c]  # [B,R,S]
+            return F.min_image(d, w) if cfg.wrap_forces else d
+
+        dx, dy, dz = axis_delta(0), axis_delta(1), axis_delta(2)
+        d2 = dx * dx + dy * dy + dz * dz
         valid = (d2 > 0.0) & (d2 < r2) & src_present[:, None, :] \
             & rec_present[:, :, None]
         coef = jnp.einsum("bip,bjp->bij", rec_u, src_v)
         s = jnp.where(valid, scale(jnp.where(valid, d2, 1.0), coef), 0.0)
-        return jnp.einsum("bijc,bij->bic", delta, s)  # [B, CAP, 3]
+        return jnp.stack(
+            [jnp.sum(dx * s, axis=-1), jnp.sum(dy * s, axis=-1),
+             jnp.sum(dz * s, axis=-1)], axis=-1)  # [B, R, 3]
 
-    nbatch = -(-c // cell_batch)
+    batch = max(1, cell_batch // g3)  # supercells per map step
+    nbatch = -(-ns3 // batch)
     if nbatch <= 1:
-        forces_cells = one_batch((cell_pos, cell_u, present, nb_ids, nb_valid))
+        forces_cells = one_batch((own_ids, nb_ids, nb_valid))
     else:
-        pad = nbatch * cell_batch - c
+        pad = nbatch * batch - ns3
 
         def padb(a):
             return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
-                (nbatch, cell_batch) + a.shape[1:])
+                (nbatch, batch) + a.shape[1:])
 
         forces_cells = jax.lax.map(
-            one_batch,
-            (padb(cell_pos), padb(cell_u), padb(present), padb(nb_ids),
-             padb(nb_valid)),
-        ).reshape((nbatch * cell_batch, capacity, 3))[:c]
+            one_batch, (padb(own_ids), padb(nb_ids), padb(nb_valid)),
+        ).reshape((nbatch * batch, nrec, 3))[:ns3]
 
     # scatter per-slot forces back to particle order
     out = jnp.zeros((n + 1, 3), positions.dtype)
-    flat_idx = jnp.where(present, slot_idx, n).reshape(-1)
+    own_slots = slot_idx[own_ids].reshape(-1)  # [S*g^3*CAP]
+    own_present = present[own_ids].reshape(-1)
+    flat_idx = jnp.where(own_present, own_slots, n)
     out = out.at[flat_idx].add(forces_cells.reshape(-1, 3))
     return out[:n]

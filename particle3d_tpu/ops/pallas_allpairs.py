@@ -76,17 +76,23 @@ def _inv_sqrt(d2, use_rsqrt: bool):
 
 
 def _scale(law: str, d2, coef, pf, valid, use_rsqrt: bool):
-    """masked s = f(d)/d from the SQUARED distance (see forces.scale_fn)."""
+    """masked s = f(d)/d from the SQUARED distance (see forces.scale_fn).
+
+    For particle-life, masked-out pairs arrive with d2 == 1.0 exactly (the
+    ``safe`` park value): the triangular kernel is identically zero at d=1
+    (and coef*0 at d==m belongs to neither strict branch in the reference —
+    quirk Q2), so no final mask multiply is needed; the d<m branch is only
+    reachable for real in-range pairs because the park value 1.0 > m.
+    """
     if law == "particle_life":
         inv_d, d = _inv_sqrt(d2, use_rsqrt)
         # repulsion (d < m): f/d = (d/m - 1)/d = 1/m - 1/d
         rep = pf[_PF_INV_M] - inv_d
-        # triangular (m < d < 1): d < 1 is implied by the r2row cutoff
-        tri = coef * ((1.0 - jnp.abs(2.0 * d - pf[_PF_C1M]) * pf[_PF_INV_1M]) * inv_d)
-        m = pf[_PF_M]
-        return jnp.where(
-            jnp.logical_and(valid, d < m), rep,
-            jnp.where(jnp.logical_and(valid, m < d), tri, 0.0))
+        # triangular (m <= d): zero at d=m and at d>=1 by construction;
+        # clamp at 0 so park/no-force pairs cannot go negative
+        tri = coef * (jnp.maximum(
+            1.0 - jnp.abs(2.0 * d - pf[_PF_C1M]) * pf[_PF_INV_1M], 0.0) * inv_d)
+        return jnp.where(d < pf[_PF_M], rep, tri)
     if law == "lennard_jones":
         inv_d2 = 1.0 / d2
         a = pf[_PF_LJ_S2] * inv_d2
@@ -130,10 +136,23 @@ def _kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, vt_ref, r2row_ref, out_ref,
         d2 = dx * dx + dy * dy + dz * dz
         # r2row: r^2 (clamped to 1 for particle-life) for real sources,
         # -1 for padding — one compare does radius gate + padding mask
-        valid = jnp.logical_and(d2 > 0.0, d2 < r2row_ref[0:1, col])
+        in_r = d2 < r2row_ref[0:1, col]
         coef = jnp.dot(u, vt_ref[:, col], preferred_element_type=jnp.float32)
-        safe = jnp.where(valid, d2, 1.0)
-        sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
+        if law == "particle_life":
+            # out-of-range/padded pairs park at d2=1 where the law is exactly
+            # zero; near-zero d2 (self pairs) clamp to eps — the huge-but-
+            # finite repulsion multiplies dx=0 and contributes nothing
+            safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
+            sca = _scale(law, safe, coef, pf_ref, None, use_rsqrt)
+        elif law == "gravity":
+            # softening keeps d2=0 finite; s*dx=0 removes self-force, so only
+            # the radius/padding gate is needed
+            safe = d2
+            sca = _scale(law, safe, coef, pf_ref, in_r, use_rsqrt)
+        else:
+            valid = jnp.logical_and(d2 > 0.0, in_r)
+            safe = jnp.where(valid, d2, 1.0)
+            sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
         return ax + dx * sca, ay + dy * sca, az + dz * sca
 
     zero = jnp.zeros((ti, tj), jnp.float32)

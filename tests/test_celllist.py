@@ -114,3 +114,14 @@ def test_celllist_batched_matches_single():
     a = np.asarray(celllist_forces(st.positions, u, v, cfg, cell_batch=1000))
     b = np.asarray(celllist_forces(st.positions, u, v, cfg, cell_batch=64))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_celllist_supercell_groups_match(group):
+    cfg = reference_config().replace(world_size=16.0)
+    st = _scene(9, 300, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(celllist_forces(st.positions, u, v, cfg, capacity=48,
+                                     group=group, cell_batch=64))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
