@@ -32,7 +32,7 @@ import numpy as np
 FORCE_LAWS = ("particle_life", "lennard_jones", "gravity", "spring")
 INTEGRATORS = ("euler", "velocity_verlet", "leapfrog")
 BOUNDARIES = ("wrap", "clamp", "reflect")
-NEIGHBOR_BACKENDS = ("allpairs", "allpairs_pallas", "celllist")
+NEIGHBOR_BACKENDS = ("allpairs", "allpairs_pallas", "celllist", "celllist_pallas")
 
 # Default species palette — reference ``src/bin/main.rs:126-132``.
 DEFAULT_COLORS = np.array(

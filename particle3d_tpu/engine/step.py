@@ -49,6 +49,10 @@ def pair_accel(positions, state: ParticleState, cfg: SimConfig):
         from ..ops.celllist import celllist_forces
 
         f = celllist_forces(positions, u, v, cfg)
+    elif cfg.neighbor == "celllist_pallas":
+        from ..ops.pallas_celllist import pallas_celllist_forces
+
+        f = pallas_celllist_forces(positions, u, v, cfg)
     else:
         raise ValueError(f"unknown neighbor backend {cfg.neighbor!r}")
     return f * F.kick_scale(cfg)

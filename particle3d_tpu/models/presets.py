@@ -69,9 +69,8 @@ def _lj_gas(key, n: int | None = None):
     """BASELINE config 3: N=262k Lennard-Jones gas, cell-list neighbors."""
     n = 262144 if n is None else n
     # density tuned so mean cell occupancy is moderate (box 64^3 cells)
-    from ..ops.celllist import grid_dims, default_capacity
-
-    nc = grid_dims(32.0, 0.5)
+    # supercell grid for the Pallas column-sweep kernel: width 1.0 (2x the
+    # 0.5 cutoff), mean occupancy ~8/cell at N=262k, slack 2x
     cfg = SimConfig(
         force_law="lennard_jones",
         lj_epsilon=0.2,
@@ -81,9 +80,11 @@ def _lj_gas(key, n: int | None = None):
         integrator="velocity_verlet",
         boundary="wrap",
         coefficient=0.0,
-        neighbor="celllist",
-        cell_grid=nc,
-        cell_capacity=default_capacity(n, nc, slack=4.0),
+        # small scenes (tests/CPU) use the XLA cell list on a coarse grid;
+        # the Pallas column-sweep kernel pays off at scale
+        neighbor="celllist_pallas" if n >= 32768 else "celllist",
+        cell_grid=32 if n >= 32768 else 8,
+        cell_capacity=16 if n >= 32768 else max(16, 4 * n // 512),
     ).validate()
     # near-uniform lattice + jitter avoids LJ blowups at t=0
     side = int(round(n ** (1 / 3)))

@@ -1,0 +1,303 @@
+"""Pallas column-sweep cell-list kernel — the large-N production force path.
+
+TPU-native successor to the reference's spatial hash (``src/lib.rs:134-164``)
+for bounded-density systems. The XLA cell list (celllist.py) is correct but
+gather-bound; this kernel restructures the sweep around DMA-friendly,
+contiguous memory:
+
+  * particles are binned into a ``nsc^3`` SUPERCELL grid (cell width >=
+    cutoff) and sorted into a column-major dense layout: one z-column of
+    supercells per (x, y) — each column's slots are contiguous, z-minor.
+  * columns carry one ghost supercell at each z end (wrapped copy for
+    periodic boxes, masked padding otherwise) so every z-window is one
+    contiguous slice.
+  * the kernel grid iterates columns; the 9 (x, y)-neighbor columns arrive as
+    index-mapped BlockSpecs of the same dense arrays — XLA/Mosaic pipelines
+    the 9 column DMAs, no gather ops anywhere.
+  * inside, a fori loop walks z in chunks of ZR supercells: the receiver
+    chunk (ZR*cap rows) sweeps the (ZR+2)-supercell window of all 9 columns —
+    a fat [ZR*cap, 9*(ZR+2)*cap] VPU tile. The minimum-image radius gate
+    (with the r2row padding trick from pallas_allpairs) rejects the
+    out-of-window-but-in-tile candidates, so results are exactly the
+    all-pairs forces.
+  * non-periodic edges need no masking: a clamped out-of-range neighbor
+    column is geometrically distant, so the distance gate rejects it.
+
+Each receiver chunk owns disjoint output rows and sees each source slot at
+most once, so there is no cross-step accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from . import forces as F
+from .pallas_allpairs import PAIR_P, _scale, pack_params, _r2_gate, _use_interpret
+
+_OFFSETS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
+            law: str, wrap: bool, nsc: int, cap: int, zr: int,
+            use_rsqrt: bool):
+    src_pos = rest[0:9]      # each (1, 3, G) ghosted column, G=(nsc+2)*cap
+    src_vt = rest[9:18]      # each (1, P, G)
+    src_r2 = rest[18:27]     # each (1, 1, G)
+    out_ref = rest[27]
+    w = pf_ref[0]
+    inv_w = pf_ref[1]
+
+    ti = zr * cap            # receiver rows per chunk
+    wl = (zr + 2) * cap      # window rows per column
+    tj = 9 * wl
+    nchunks = nsc // zr
+
+    def chunk(ch, _):
+        base = ch * ti       # core-coord row == ghosted-coord window start
+        win = pl.ds(base, wl)
+        xj = jnp.concatenate([r[0, 0:1, win] for r in src_pos], axis=1)
+        yj = jnp.concatenate([r[0, 1:2, win] for r in src_pos], axis=1)
+        zj = jnp.concatenate([r[0, 2:3, win] for r in src_pos], axis=1)
+        vt = jnp.concatenate([r[0, :, win] for r in src_vt], axis=1)
+        r2row = jnp.concatenate([r[0, 0:1, win] for r in src_r2], axis=1)
+
+        rec = pl.ds(base, ti)
+        xi = rec_pos_ref[0, rec, 0:1]  # (TI, 1)
+        yi = rec_pos_ref[0, rec, 1:2]
+        zi = rec_pos_ref[0, rec, 2:3]
+        u = rec_u_ref[0, rec, :]       # (TI, P)
+
+        dx = xj - xi
+        dy = yj - yi
+        dz = zj - zi
+        if wrap:
+            dx = dx - jnp.round(dx * inv_w) * w
+            dy = dy - jnp.round(dy * inv_w) * w
+            dz = dz - jnp.round(dz * inv_w) * w
+        d2 = dx * dx + dy * dy + dz * dz
+        in_r = d2 < r2row
+        coef = jnp.dot(u, vt, preferred_element_type=jnp.float32)
+        if law == "particle_life":
+            safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
+            sca = _scale(law, safe, coef, pf_ref, None, use_rsqrt)
+        elif law == "gravity":
+            sca = _scale(law, d2, coef, pf_ref, in_r, use_rsqrt)
+        else:
+            valid = jnp.logical_and(d2 > 0.0, in_r)
+            safe = jnp.where(valid, d2, 1.0)
+            sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
+        acc = jnp.concatenate(
+            [
+                jnp.sum(dx * sca, axis=1, keepdims=True),
+                jnp.sum(dy * sca, axis=1, keepdims=True),
+                jnp.sum(dz * sca, axis=1, keepdims=True),
+            ],
+            axis=1,
+        )
+        out_ref[0, rec, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk, 0)
+
+
+def _pick_zr(nsc: int, cap: int) -> int:
+    """Largest chunk height with TI=zr*cap near 128-256 that divides nsc.
+
+    Capped at nsc-2: a window of zr+2 supercells must never contain both a
+    core supercell and its wrap-ghost copy, or wrapped pairs double count.
+    """
+    target = max(1, 256 // max(cap, 1))
+    # prefer chunk offsets (zr*cap) that are 128-lane aligned — Mosaic
+    # rejects some unaligned dynamic window loads
+    for aligned in (True, False):
+        for zr in range(min(target, nsc - 2), 0, -1):
+            if nsc % zr == 0 and (not aligned or (zr * cap) % 128 == 0):
+                return zr
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("law", "wrap", "nsc", "cap", "interpret"),
+)
+def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
+          interpret):
+    ncol = pos_d.shape[0]
+    cs = nsc * cap
+    g = (nsc + 2) * cap
+    p = u_d.shape[2]
+    zr = _pick_zr(nsc, cap)
+
+    def rec_map(c):
+        return (c, 0, 0)
+
+    def nbr_map(dx, dy):
+        def im(c):
+            cx = c // nsc
+            cy = c % nsc
+            if wrap:
+                nx = (cx + dx) % nsc
+                ny = (cy + dy) % nsc
+                return (nx * nsc + ny, 0, 0)
+            # non-periodic: out-of-range neighbors hit the fully-masked
+            # dummy column appended at index ncol (aliasing a real column
+            # would double count edge pairs)
+            nx = cx + dx
+            ny = cy + dy
+            ok = (nx >= 0) & (nx < nsc) & (ny >= 0) & (ny < nsc)
+            return (jnp.where(ok, nx * nsc + ny, nsc * nsc), 0, 0)
+
+        return im
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, cs, 3), rec_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cs, p), rec_map, memory_space=pltpu.VMEM),
+    ]
+    for dx, dy in _OFFSETS9:
+        in_specs.append(pl.BlockSpec((1, 3, g), nbr_map(dx, dy),
+                                     memory_space=pltpu.VMEM))
+    for dx, dy in _OFFSETS9:
+        in_specs.append(pl.BlockSpec((1, p, g), nbr_map(dx, dy),
+                                     memory_space=pltpu.VMEM))
+    for dx, dy in _OFFSETS9:
+        in_specs.append(pl.BlockSpec((1, 1, g), nbr_map(dx, dy),
+                                     memory_space=pltpu.VMEM))
+
+    args = ([params_f, pos_d, u_d] + [post_g] * 9 + [vt_g] * 9 + [r2_g] * 9)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, law=law, wrap=wrap, nsc=nsc, cap=cap, zr=zr,
+            use_rsqrt=not interpret,
+        ),
+        grid=(ncol,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cs, 3), rec_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncol, cs, 3), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def prepare_columns(positions, u, v, cfg: SimConfig, nsc: int, cap: int):
+    """Bin + sort into the column-dense ghosted layout.
+
+    Returns (pos_d [NCOL,CS,3], u_d [NCOL,CS,P], post_g [NCOL,3,G],
+    vt_g [NCOL,P,G], r2_g [NCOL,1,G], slot_particle [NCOL,CS]).
+    """
+    n = positions.shape[0]
+    w = jnp.asarray(cfg.world_size, jnp.float32)
+    cellw = w / nsc
+    ncol = nsc * nsc
+    cs = nsc * cap
+
+    shifted = positions + w * 0.5
+    idx3 = jnp.clip(jnp.floor(shifted / cellw).astype(jnp.int32), 0, nsc - 1)
+    sid = (idx3[:, 0] * nsc + idx3[:, 1]) * nsc + idx3[:, 2]
+    order = jnp.argsort(sid)
+    sid_s = sid[order]
+    starts = jnp.searchsorted(sid_s, jnp.arange(nsc ** 3, dtype=sid.dtype))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[sid_s].astype(jnp.int32)
+    keep = rank < cap
+    flat = jnp.where(keep, sid_s * cap + rank, nsc ** 3 * cap)
+    slot_particle = jnp.full((nsc ** 3 * cap + 1,), -1, jnp.int32)
+    slot_particle = slot_particle.at[flat].set(order.astype(jnp.int32),
+                                               mode="drop")[:-1]
+    present = slot_particle >= 0
+    safe = jnp.where(present, slot_particle, 0)
+
+    pos_d = positions[safe].reshape(ncol, cs, 3).astype(jnp.float32)
+    u_d = u[safe].reshape(ncol, cs, -1).astype(jnp.float32)
+    v_d = v[safe].reshape(ncol, cs, -1).astype(jnp.float32)
+    r2 = _r2_gate(cfg)
+    r2_d = jnp.where(present, r2, -1.0).reshape(ncol, cs).astype(jnp.float32)
+
+    wrap = bool(cfg.wrap_forces)
+    if wrap:
+        pos_g = jnp.concatenate([pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
+        v_g = jnp.concatenate([v_d[:, cs - cap:], v_d, v_d[:, :cap]], axis=1)
+        r2_gh = jnp.concatenate([r2_d[:, cs - cap:], r2_d, r2_d[:, :cap]], axis=1)
+    else:
+        zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
+        zpadp = jnp.zeros((ncol, cap, v_d.shape[2]), jnp.float32)
+        mpad = jnp.full((ncol, cap), -1.0, jnp.float32)
+        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], axis=1)
+        v_g = jnp.concatenate([zpadp, v_d, zpadp], axis=1)
+        r2_gh = jnp.concatenate([mpad, r2_d, mpad], axis=1)
+        # dummy fully-masked column for out-of-range neighbor maps
+        g = cs + 2 * cap
+        pos_g = jnp.concatenate([pos_g, jnp.zeros((1, g, 3), jnp.float32)], 0)
+        v_g = jnp.concatenate([v_g, jnp.zeros((1, g, v_g.shape[2]), jnp.float32)], 0)
+        r2_gh = jnp.concatenate([r2_gh, jnp.full((1, g), -1.0, jnp.float32)], 0)
+
+    post_g = jnp.transpose(pos_g, (0, 2, 1))  # (NCOL[+1], 3, G)
+    vt_g = jnp.transpose(v_g, (0, 2, 1))  # (NCOL[+1], P, G)
+    r2_g = r2_gh[:, None, :]  # (NCOL[+1], 1, G)
+    return pos_d, u_d, post_g, vt_g, r2_g, slot_particle.reshape(ncol, cs)
+
+
+def pallas_celllist_forces(positions, u, v, cfg: SimConfig,
+                           nsc: int | None = None, cap: int | None = None,
+                           interpret: bool | None = None):
+    """Accumulated pair forces [N,3] via the column-sweep cell kernel.
+
+    nsc (supercells per axis, width must be >= the effective cutoff) and cap
+    (slots per supercell) come from cfg.cell_grid / cfg.cell_capacity when
+    not given. Falls back to the XLA cell list when nsc < 3.
+    """
+    n = positions.shape[0]
+    if nsc is None:
+        nsc = cfg.cell_grid
+    if cap is None:
+        cap = cfg.cell_capacity
+    if nsc is None:
+        from .celllist import grid_dims
+
+        nsc = grid_dims(float(cfg.world_size), float(cfg.particle_effect_radius))
+    if cap is None:
+        from .celllist import default_capacity
+
+        cap = default_capacity(n, nsc, slack=2.5)
+    if nsc < 3:
+        from .celllist import celllist_forces
+
+        return celllist_forces(positions, u, v, cfg, nc=nsc, capacity=cap)
+    # correctness requires supercell width >= effective cutoff (best-effort
+    # check when the config is concrete)
+    try:
+        w = float(cfg.world_size)
+        r = float(cfg.particle_effect_radius)
+        cutoff = min(r, 1.0) if cfg.force_law == "particle_life" else r
+        if w / nsc < cutoff - 1e-6:
+            raise ValueError(
+                f"cell width {w / nsc:.4f} < effective cutoff {cutoff:.4f}: "
+                f"reduce cell_grid (nsc={nsc}) so cells cover the cutoff")
+    except TypeError:
+        pass  # traced config: caller is responsible for nsc
+    if interpret is None:
+        interpret = _use_interpret()
+    if u.shape[1] < PAIR_P:
+        pad = PAIR_P - u.shape[1]
+        u = jnp.pad(u, ((0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+
+    pos_d, u_d, post_g, vt_g, r2_g, slot_particle = prepare_columns(
+        positions, u, v, cfg, nsc, cap)
+    params_f = pack_params(cfg)
+    forces_d = _call(pos_d, u_d, post_g, vt_g, r2_g, params_f,
+                     cfg.force_law, bool(cfg.wrap_forces), nsc, cap, interpret)
+
+    out = jnp.zeros((n + 1, 3), positions.dtype)
+    flat = jnp.where(slot_particle >= 0, slot_particle, n).reshape(-1)
+    out = out.at[flat].add(forces_d.reshape(-1, 3))
+    return out[:n]

@@ -1,0 +1,100 @@
+"""Column-sweep Pallas cell-list kernel vs the dense all-pairs path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from particle3d_tpu import SimConfig, reference_config, from_numpy
+from particle3d_tpu.ops import forces as F
+from particle3d_tpu.ops.allpairs import allpairs_forces
+from particle3d_tpu.ops.pallas_celllist import pallas_celllist_forces, prepare_columns
+
+
+def _scene(seed, n, cfg):
+    rng = np.random.default_rng(seed)
+    half = float(np.asarray(cfg.world_size)) / 2
+    pos = rng.uniform(-half, half, (n, 3)).astype(np.float32)
+    species = rng.integers(0, cfg.id_count, n).astype(np.int32)
+    return from_numpy(pos, np.zeros((n, 3), np.float32), species)
+
+
+def test_prepare_columns_is_partition():
+    cfg = reference_config().replace(world_size=12.0)
+    n = 200
+    st = _scene(0, n, cfg)
+    u, v = F.pair_features(st, cfg, pad_p=8)
+    *_, slots = prepare_columns(st.positions, u, v, cfg, nsc=4, cap=32)
+    got = np.asarray(slots).reshape(-1)
+    real = got[got >= 0]
+    assert sorted(real.tolist()) == list(range(n))
+
+
+@pytest.mark.parametrize("nsc,n,world", [(4, 200, 12.0), (3, 150, 9.0),
+                                         (6, 400, 14.0)])
+def test_matches_allpairs_particle_life_wrap(nsc, n, world):
+    cfg = reference_config().replace(world_size=world)
+    st = _scene(nsc, n, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_celllist_forces(st.positions, u, v, cfg,
+                                            nsc=nsc, cap=96))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_matches_allpairs_no_wrap():
+    cfg = reference_config().replace(world_size=12.0, wrap_forces=False)
+    st = _scene(7, 250, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_celllist_forces(st.positions, u, v, cfg,
+                                            nsc=4, cap=96))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_matches_allpairs_lj():
+    cfg = SimConfig(
+        force_law="lennard_jones", lj_epsilon=1.0, lj_sigma=0.3,
+        particle_effect_radius=1.5, world_size=9.0,
+    ).validate()
+    rng = np.random.default_rng(5)
+    g = np.stack(np.meshgrid(*[np.linspace(-4, 4, 7)] * 3), -1).reshape(-1, 3)
+    pos = (g + rng.normal(0, 0.05, g.shape)).astype(np.float32)
+    st = from_numpy(pos, np.zeros_like(pos), np.zeros(len(pos), np.int32))
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_celllist_forces(st.positions, u, v, cfg,
+                                            nsc=6, cap=32))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_matches_allpairs_gravity():
+    cfg = SimConfig(
+        force_law="gravity", gravity_constant=1.0, gravity_softening=0.3,
+        particle_effect_radius=2.0, world_size=12.0,
+    ).validate()
+    rng = np.random.default_rng(6)
+    n = 180
+    g = np.stack(np.meshgrid(*[np.linspace(-5, 5, 6)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    pos = (g[:n] + rng.normal(0, 0.2, (n, 3))).astype(np.float32)
+    st = from_numpy(pos, np.zeros_like(pos), np.zeros(n, np.int32),
+                    masses=rng.uniform(0.5, 2.0, n).astype(np.float32))
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_celllist_forces(st.positions, u, v, cfg,
+                                            nsc=6, cap=32))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_backend_in_step():
+    from particle3d_tpu import step
+
+    cfg = reference_config().replace(world_size=12.0)
+    cfg_p = cfg.replace(neighbor="celllist_pallas", cell_grid=4,
+                        cell_capacity=96)
+    st = _scene(9, 256, cfg)
+    a = step(st, cfg, 1.0 / 60.0)
+    b = step(st, cfg_p, 1.0 / 60.0)
+    np.testing.assert_allclose(
+        np.asarray(a.positions), np.asarray(b.positions), rtol=3e-4, atol=3e-5)
