@@ -159,3 +159,51 @@ def trajectory(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
 
     state, snaps = jax.lax.scan(body, state, None, length=outer)
     return state, snaps
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "rebuild_every",
+                                             "nsc", "cap"))
+def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
+                      num_steps: int, rebuild_every: int = 8,
+                      nsc: int | None = None, cap: int | None = None):
+    """On-device trajectory for the Pallas cell-list backend with cadenced
+    layout rebuilds: the sort/scatter binning is redone every
+    ``rebuild_every`` steps; between rebuilds only position values are
+    regathered into the frozen layout (the MD skin/Verlet-list pattern).
+
+    Exact while every particle drifts less than (cell_width - cutoff)/2
+    between rebuilds; returns (final_state, max_observed_drift) so callers
+    can validate against ``pallas_celllist.drift_budget(cfg, nsc)``.
+    """
+    from ..ops.pallas_celllist import (
+        build_layout, layout_forces, layout_drift,
+    )
+    from ..ops import forces as FF
+
+    if nsc is None:
+        nsc = cfg.cell_grid
+    if cap is None:
+        cap = cfg.cell_capacity
+    assert nsc is not None and cap is not None, \
+        "simulate_cadenced needs cfg.cell_grid / cfg.cell_capacity"
+    assert num_steps % rebuild_every == 0
+    outer = num_steps // rebuild_every
+
+    def outer_body(carry, _):
+        s, max_drift = carry
+        u, v = FF.pair_features(s, cfg)
+        layout = build_layout(s.positions, u, v, cfg, nsc, cap)
+
+        def accel_fn(positions, st, c):
+            return layout_forces(layout, positions, c, nsc, cap) * FF.kick_scale(c)
+
+        def inner(ss, _):
+            return step(ss, cfg, dt, accel_fn=accel_fn), None
+
+        s, _ = jax.lax.scan(inner, s, None, length=rebuild_every)
+        max_drift = jnp.maximum(max_drift, layout_drift(layout, s.positions, cfg))
+        return (s, max_drift), None
+
+    (state, max_drift), _ = jax.lax.scan(
+        outer_body, (state, jnp.float32(0.0)), None, length=outer)
+    return state, max_drift

@@ -301,3 +301,91 @@ def pallas_celllist_forces(positions, u, v, cfg: SimConfig,
     flat = jnp.where(slot_particle >= 0, slot_particle, n).reshape(-1)
     out = out.at[flat].add(forces_d.reshape(-1, 3))
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Cadenced rebuild: reuse the sorted layout across steps
+# ---------------------------------------------------------------------------
+#
+# Binning only needs to be *valid*, not fresh: a pair within the cutoff is
+# still covered by the +/-1 supercell window as long as every particle has
+# drifted less than (cell_width - cutoff)/2 since the layout was built. The
+# expensive part of a rebuild is the sort + scatter (the layout); refreshing
+# VALUES (positions) into an existing layout is one gather. Species/mass
+# features and the r2 row are layout-constant and cached.
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CellLayout:
+    """Frozen binning of particles into the column-dense layout."""
+
+    slot_particle: Any  # i32 [NCOL, CS], -1 padding
+    u_d: Any            # f32 [NCOL, CS, P] cached receiver features
+    vt_g: Any           # f32 [NCOL(+1), P, G] cached ghosted source features
+    r2_g: Any           # f32 [NCOL(+1), 1, G]
+    anchor: Any         # f32 [N, 3] positions at build time (drift checks)
+
+
+jax.tree_util.register_dataclass(
+    CellLayout,
+    data_fields=["slot_particle", "u_d", "vt_g", "r2_g", "anchor"],
+    meta_fields=[],
+)
+
+
+def build_layout(positions, u, v, cfg: SimConfig, nsc: int, cap: int) -> CellLayout:
+    if u.shape[1] < PAIR_P:
+        pad = PAIR_P - u.shape[1]
+        u = jnp.pad(u, ((0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+    _, u_d, _, vt_g, r2_g, slot_particle = prepare_columns(
+        positions, u, v, cfg, nsc, cap)
+    return CellLayout(slot_particle, u_d, vt_g, r2_g, positions)
+
+
+def drift_budget(cfg: SimConfig, nsc: int):
+    """Max per-particle displacement the layout tolerates."""
+    w = jnp.asarray(cfg.world_size, jnp.float32)
+    r = jnp.asarray(cfg.particle_effect_radius, jnp.float32)
+    cutoff = jnp.minimum(r, 1.0) if cfg.force_law == "particle_life" else r
+    return (w / nsc - cutoff) * 0.5
+
+
+def layout_drift(layout: CellLayout, positions, cfg: SimConfig):
+    """Max displacement since the layout anchor (minimum-image metric)."""
+    d = F.min_image(positions - layout.anchor, cfg.world_size)
+    return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+
+
+def layout_forces(layout: CellLayout, positions, cfg: SimConfig,
+                  nsc: int, cap: int, interpret: bool | None = None):
+    """Forces using a frozen layout: one position gather + the kernel."""
+    if interpret is None:
+        interpret = _use_interpret()
+    n = positions.shape[0]
+    ncol = nsc * nsc
+    cs = nsc * cap
+    slot = layout.slot_particle
+    present = slot >= 0
+    safe = jnp.where(present, slot, 0)
+    pos_d = positions[safe.reshape(-1)].reshape(ncol, cs, 3).astype(jnp.float32)
+    wrap = bool(cfg.wrap_forces)
+    if wrap:
+        pos_g = jnp.concatenate(
+            [pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
+    else:
+        zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
+        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], axis=1)
+        pos_g = jnp.concatenate(
+            [pos_g, jnp.zeros((1, cs + 2 * cap, 3), jnp.float32)], axis=0)
+    post_g = jnp.transpose(pos_g, (0, 2, 1))
+    params_f = pack_params(cfg)
+    forces_d = _call(pos_d, layout.u_d, post_g, layout.vt_g, layout.r2_g,
+                     params_f, cfg.force_law, wrap, nsc, cap, interpret)
+    out = jnp.zeros((n + 1, 3), positions.dtype)
+    flat = jnp.where(present, slot, n).reshape(-1)
+    out = out.at[flat].add(forces_d.reshape(-1, 3))
+    return out[:n]

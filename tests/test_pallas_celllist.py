@@ -98,3 +98,20 @@ def test_backend_in_step():
     b = step(st, cfg_p, 1.0 / 60.0)
     np.testing.assert_allclose(
         np.asarray(a.positions), np.asarray(b.positions), rtol=3e-4, atol=3e-5)
+
+
+def test_cadenced_rebuild_matches_per_step():
+    """Layout reuse between rebuilds is exact while drift < budget."""
+    from particle3d_tpu.models import make_scene
+    from particle3d_tpu.engine.step import simulate, simulate_cadenced, warmup
+    from particle3d_tpu.ops.pallas_celllist import drift_budget
+
+    st, cfg, dt = make_scene("lj_gas", n=512)
+    cfgp = cfg.replace(neighbor="celllist_pallas", cell_grid=8,
+                       cell_capacity=48)
+    st = warmup(st, cfgp)
+    a = simulate(st, cfgp, dt, 8)
+    b, drift = simulate_cadenced(st, cfgp, dt, 8, rebuild_every=4)
+    assert float(drift) < float(drift_budget(cfgp, 8))
+    np.testing.assert_allclose(
+        np.asarray(a.positions), np.asarray(b.positions), atol=1e-6)
