@@ -36,7 +36,22 @@ def _reference_walls(key, n: int | None = None):
 
 
 def _particle_life_large(key, n: int | None = None):
-    """Large-N particle life on the Pallas all-pairs path."""
+    """Large-N particle life: Pallas column-sweep cell list (the effective
+    cutoff is min(radius, 1.0) = 1.0 — reference quirk Q2 — so a 40^3
+    supercell grid of width 1.0 covers it)."""
+    n = 262144 if n is None else n
+    if n >= 32768:
+        cfg = reference_config(world_size=40.0).replace(
+            neighbor="celllist_pallas", cell_grid=40,
+            cell_capacity=16)
+    else:
+        cfg = reference_config(world_size=40.0).replace(neighbor="allpairs_pallas")
+    return init_scene(key, n, cfg), cfg, 1.0 / 60.0
+
+
+def _particle_life_large_allpairs(key, n: int | None = None):
+    """Large-N particle life on the brute-force Pallas all-pairs kernel
+    (the BASELINE pair-interactions/sec metric workload)."""
     n = 262144 if n is None else n
     cfg = reference_config(world_size=40.0).replace(neighbor="allpairs_pallas")
     return init_scene(key, n, cfg), cfg, 1.0 / 60.0
@@ -157,6 +172,7 @@ PRESETS: dict[str, Callable] = {
     "reference": _reference,
     "reference_walls": _reference_walls,
     "particle_life_large": _particle_life_large,
+    "particle_life_large_allpairs": _particle_life_large_allpairs,
     "verlet_elastic": _verlet_elastic,
     "lj_gas": _lj_gas,
     "gravity_nbody": _gravity_nbody,
