@@ -103,6 +103,29 @@ def main():
         except Exception as e:  # keep the headline metric alive regardless
             print(f"[bench] LJ cell-list bench failed: {e}", file=sys.stderr)
 
+    # --- trajectory parity vs the reference-exact native engine ----------
+    try:
+        import numpy as np
+
+        from particle3d_tpu import native
+
+        if native.available():
+            cfgp = reference_config()
+            stp = init_scene(jax.random.PRNGKey(7), 1000, cfgp)
+            pos0 = np.asarray(stp.positions)
+            vel0 = np.asarray(stp.velocities)
+            spec0 = np.asarray(stp.species)
+            steps_p = 120
+            outp = simulate(stp, cfgp, dt, steps_p)
+            ref_pos, _ = native.native_simulate(
+                pos0, vel0, spec0, cfgp, dt, steps_p)
+            l2 = float(np.sqrt(np.mean(
+                (np.asarray(outp.positions) - ref_pos) ** 2)))
+            print(f"[bench] trajectory L2 vs reference-exact native engine "
+                  f"(N=1000, {steps_p} steps): {l2:.2e}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] parity check skipped: {e}", file=sys.stderr)
+
     baseline = 1e11  # BASELINE.json: >=1e11 pair-interactions/s target
     print(json.dumps({
         "metric": headline_name,

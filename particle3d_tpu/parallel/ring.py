@@ -117,6 +117,7 @@ def sharded_step(state: ParticleState, cfg: SimConfig, dt, mesh,
         mesh=mesh,
         in_specs=(P(axis), jax.tree.map(lambda _: P(), cfg), P()),
         out_specs=P(axis),
+        check_vma=False,  # pallas_call outputs carry no vma info
     )
     def run(st, cfg_in, dt_in):
         return _step(st, cfg_in, dt_in,
@@ -133,6 +134,7 @@ def _sharded_simulate(state, cfg, dt, num_steps, mesh, axis):
         mesh=mesh,
         in_specs=(P(axis), jax.tree.map(lambda _: P(), cfg), P()),
         out_specs=P(axis),
+        check_vma=False,  # pallas_call outputs carry no vma info
     )
     def run(st, cfg_in, dt_in):
         def body(s, _):

@@ -82,3 +82,25 @@ def test_indivisible_n_raises():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
         sharded_step(st, cfg, 1.0 / 60.0, mesh)
+
+
+def test_ring_forces_with_pallas_block_kernel():
+    """Ring-sharded sweep using the Pallas all-pairs kernel for the local
+    block pair math (the production multi-chip configuration)."""
+    cfg = reference_config().replace(neighbor="allpairs_pallas")
+    st = init_scene(jax.random.PRNGKey(5), 128, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+
+    mesh = make_mesh(2)
+    from jax.sharding import PartitionSpec as P
+    import functools
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("shard"), P("shard"), P("shard")),
+                       out_specs=P("shard"), check_vma=False)
+    def run(pos, uu, vv):
+        return ring_forces(pos, uu, vv, cfg)
+
+    got = np.asarray(run(st.positions, u, v))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
