@@ -70,11 +70,11 @@ def main():
 
         stc, cfgc, dtc = make_scene("particle_life_large")
         secc = _timed(
-            lambda: simulate_cadenced(stc, cfgc, dt, 16,
-                                      rebuild_every=8)[0].positions, 2)
-        eff = float(n) * float(n) * (16 / secc)
+            lambda: simulate_cadenced(stc, cfgc, dt, 32,
+                                      rebuild_every=16)[0].positions, 2)
+        eff = float(n) * float(n) * (32 / secc)
         print(f"[bench] N={n} particle-life, pallas cell list (production "
-              f"path): {16 / secc:.2f} steps/s = {eff:.3e} effective "
+              f"path): {32 / secc:.2f} steps/s = {eff:.3e} effective "
               f"pair-interactions/s", file=sys.stderr)
         if eff > headline_pairs_per_s:
             headline_pairs_per_s = eff
@@ -96,9 +96,9 @@ def main():
             st3, cfg3, dt3 = make_scene("lj_gas")
             st3 = warmup(st3, cfg3)
             sec3 = _timed(
-                lambda: simulate_cadenced(st3, cfg3, dt3, 16,
-                                          rebuild_every=8)[0].positions, 2)
-            print(f"[bench] N=262144 LJ cell-list: {16 / sec3:.2f} steps/s",
+                lambda: simulate_cadenced(st3, cfg3, dt3, 32,
+                                          rebuild_every=16)[0].positions, 2)
+            print(f"[bench] N=262144 LJ cell-list: {32 / sec3:.2f} steps/s",
                   file=sys.stderr)
         except Exception as e:  # keep the headline metric alive regardless
             print(f"[bench] LJ cell-list bench failed: {e}", file=sys.stderr)

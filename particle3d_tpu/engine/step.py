@@ -175,9 +175,7 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
     between rebuilds; returns (final_state, max_observed_drift) so callers
     can validate against ``pallas_celllist.drift_budget(cfg, nsc)``.
     """
-    from ..ops.pallas_celllist import (
-        build_layout, layout_forces, layout_drift,
-    )
+    from ..ops.pallas_celllist import build_layout, layout_drift
     from ..ops import forces as FF
 
     if nsc is None:
@@ -189,18 +187,61 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
     assert num_steps % rebuild_every == 0
     outer = num_steps // rebuild_every
 
+    from ..ops.pallas_celllist import dense_forces, slot_of_particle
+
     def outer_body(carry, _):
         s, max_drift = carry
         u, v = FF.pair_features(s, cfg)
         layout = build_layout(s.positions, u, v, cfg, nsc, cap)
 
+        # migrate the STATE into the dense slot layout and integrate there:
+        # between rebuilds no gather/scatter runs at all — phantom (padding)
+        # slots evolve as inert ghosts (masked as force sources by the
+        # layout's r2 row, never read back).
+        slot = layout.slot_particle.reshape(-1)
+        present = slot >= 0
+        safe = jnp.where(present, slot, 0)
+
+        def to_dense(a):
+            d = a[safe]
+            return jnp.where(
+                present.reshape((-1,) + (1,) * (a.ndim - 1)), d,
+                jnp.zeros_like(d))
+
+        dense = ParticleState(
+            positions=to_dense(s.positions),
+            velocities=to_dense(s.velocities),
+            species=to_dense(s.species),
+            masses=to_dense(s.masses),
+            accel=to_dense(s.accel),
+        )
+
         def accel_fn(positions, st, c):
-            return layout_forces(layout, positions, c, nsc, cap) * FF.kick_scale(c)
+            return dense_forces(layout, positions, c, nsc, cap) * FF.kick_scale(c)
 
         def inner(ss, _):
             return step(ss, cfg, dt, accel_fn=accel_fn), None
 
-        s, _ = jax.lax.scan(inner, s, None, length=rebuild_every)
+        dense, _ = jax.lax.scan(inner, dense, None, length=rebuild_every)
+
+        # migrate back to particle order; overflow-dropped particles (slot
+        # -1, only possible past capacity) keep their previous state
+        inv = slot_of_particle(layout, s.n)
+        ok = inv >= 0
+        inv_safe = jnp.where(ok, inv, 0)
+
+        def back(dense_a, old_a):
+            g = dense_a[inv_safe]
+            return jnp.where(ok.reshape((-1,) + (1,) * (old_a.ndim - 1)),
+                             g, old_a)
+
+        s = ParticleState(
+            positions=back(dense.positions, s.positions),
+            velocities=back(dense.velocities, s.velocities),
+            species=s.species,
+            masses=s.masses,
+            accel=back(dense.accel, s.accel),
+        )
         max_drift = jnp.maximum(max_drift, layout_drift(layout, s.positions, cfg))
         return (s, max_drift), None
 

@@ -346,6 +346,45 @@ def build_layout(positions, u, v, cfg: SimConfig, nsc: int, cap: int) -> CellLay
     return CellLayout(slot_particle, u_d, vt_g, r2_g, positions)
 
 
+def slot_of_particle(layout: CellLayout, n: int):
+    """Inverse slot mapping: i32[N] flat slot index per particle, -1 for
+    particles dropped by capacity overflow."""
+    slot = layout.slot_particle.reshape(-1)
+    flat = jnp.arange(slot.shape[0], dtype=jnp.int32)
+    inv = jnp.full((n + 1,), -1, jnp.int32)
+    inv = inv.at[jnp.where(slot >= 0, slot, n)].set(flat, mode="drop")
+    return inv[:n]
+
+
+def dense_forces(layout: CellLayout, pos_flat, cfg: SimConfig,
+                 nsc: int, cap: int, interpret: bool | None = None):
+    """Forces for positions already IN the dense slot layout.
+
+    pos_flat: f32[NCOL*CS, 3] -> forces f32[NCOL*CS, 3] (garbage on phantom
+    slots — they are masked as sources by r2_g, and callers never read
+    phantom rows back). Avoids the per-step gather/scatter entirely.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    ncol = nsc * nsc
+    cs = nsc * cap
+    pos_d = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
+    wrap = bool(cfg.wrap_forces)
+    if wrap:
+        pos_g = jnp.concatenate(
+            [pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
+    else:
+        zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
+        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], axis=1)
+        pos_g = jnp.concatenate(
+            [pos_g, jnp.zeros((1, cs + 2 * cap, 3), jnp.float32)], axis=0)
+    post_g = jnp.transpose(pos_g, (0, 2, 1))
+    params_f = pack_params(cfg)
+    forces_d = _call(pos_d, layout.u_d, post_g, layout.vt_g, layout.r2_g,
+                     params_f, cfg.force_law, wrap, nsc, cap, interpret)
+    return forces_d.reshape(-1, 3)
+
+
 def drift_budget(cfg: SimConfig, nsc: int):
     """Max per-particle displacement the layout tolerates."""
     w = jnp.asarray(cfg.world_size, jnp.float32)
