@@ -78,7 +78,13 @@ class SimulationApp:
     def run_steps(self, n_steps: int) -> None:
         """Run n_steps at the fixed timestep, batched on device."""
         dt = jnp.float32(1.0 / self.update_rate)
-        self.state = simulate(self.state, self.cfg, dt, n_steps)
+        if self.cfg.neighbor == "celllist_pallas":
+            from ..engine.step import simulate_cadenced
+
+            self.state, _ = simulate_cadenced(
+                self.state, self.cfg, dt, n_steps, rebuild_every=n_steps)
+        else:
+            self.state = simulate(self.state, self.cfg, dt, n_steps)
         jax.block_until_ready(self.state.positions)
         self.step_index += n_steps
 
