@@ -20,17 +20,24 @@ import time
 
 
 def _cmd_run(a):
+    import os
+
     import jax
 
     from .models import make_scene
     from .engine.step import simulate, warmup
     from .app.headless import render_trajectory, save_gif
-    from .utils.checkpoint import save_checkpoint
+    from .utils.checkpoint import save_checkpoint, load_checkpoint
     from .utils.metrics import measure_metrics
 
     state, cfg, dt = make_scene(a.preset, jax.random.PRNGKey(a.seed), n=a.n)
     if a.dt:
         dt = a.dt
+    start_step = 0
+    if a.checkpoint and a.checkpoint_every and os.path.exists(a.checkpoint):
+        # elastic restart: resume from the last periodic snapshot
+        state, cfg, start_step, _ = load_checkpoint(a.checkpoint)
+        print(f"resuming from {a.checkpoint} at step {start_step}")
     t0 = time.perf_counter()
     if a.gif:
         state, frames = render_trajectory(
@@ -38,6 +45,17 @@ def _cmd_run(a):
             width=a.width, height=a.height)
         save_gif(frames, a.gif, fps=a.fps)
         print(f"wrote {a.gif} ({frames.shape[0]} frames)")
+    elif a.checkpoint and a.checkpoint_every:
+        # periodic snapshots: crash anywhere, rerun the same command to
+        # resume from the newest snapshot
+        state = warmup(state, cfg)
+        done = start_step
+        while done < a.steps:
+            chunk = min(a.checkpoint_every, a.steps - done)
+            state = simulate(state, cfg, dt, chunk)
+            jax.block_until_ready(state.positions)
+            done += chunk
+            save_checkpoint(a.checkpoint, state, cfg, done)
     else:
         state = warmup(state, cfg)
         state = simulate(state, cfg, dt, a.steps)
@@ -111,6 +129,9 @@ def main(argv=None):
     r.add_argument("--width", type=int, default=480)
     r.add_argument("--height", type=int, default=360)
     r.add_argument("--checkpoint", default=None)
+    r.add_argument("--checkpoint-every", type=int, default=None,
+                   help="write the checkpoint every N steps and auto-resume "
+                        "from it if it exists (snapshot-based restart)")
     r.set_defaults(fn=_cmd_run)
 
     s = sub.add_parser("serve", help="interactive browser UI")
