@@ -5,6 +5,7 @@ from .ring import (
     ring_forces, ring_forces_2level, sharded_step, sharded_simulate,
     shard_state,
 )
+from .domain import sharded_cell_simulate, sharded_dense_forces
 
 __all__ = [
     "make_mesh",
@@ -15,4 +16,6 @@ __all__ = [
     "sharded_step",
     "sharded_simulate",
     "shard_state",
+    "sharded_cell_simulate",
+    "sharded_dense_forces",
 ]

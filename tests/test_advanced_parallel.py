@@ -73,3 +73,24 @@ def test_gradient_matches_finite_differences():
         dm[idx] -= eps
         fd = (float(loss(jnp.asarray(dp))) - float(loss(jnp.asarray(dm)))) / (2 * eps)
         assert g[idx] == pytest.approx(fd, rel=0.05, abs=1e-4)
+
+
+def test_sharded_cell_simulate_matches_single_device():
+    """Column-slab sharded cell forces == single-device cadenced run."""
+    from particle3d_tpu.models import make_scene
+    from particle3d_tpu.engine.step import simulate_cadenced, warmup
+    from particle3d_tpu.parallel.domain import sharded_cell_simulate
+    from particle3d_tpu.parallel import make_mesh
+
+    st, cfg, dt = make_scene("lj_gas", n=512)
+    cfgp = cfg.replace(neighbor="celllist_pallas", cell_grid=8,
+                       cell_capacity=48)
+    st = warmup(st, cfgp)
+    want, _ = simulate_cadenced(st, cfgp, dt, 8, rebuild_every=4)
+
+    mesh = make_mesh(4)
+    got, drift = sharded_cell_simulate(st, cfgp, dt, 8, mesh,
+                                       rebuild_every=4, nsc=8, cap=48)
+    np.testing.assert_allclose(
+        np.asarray(got.positions), np.asarray(want.positions),
+        rtol=1e-5, atol=1e-6)
