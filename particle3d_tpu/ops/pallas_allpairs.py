@@ -294,8 +294,15 @@ def pallas_allpairs_forces(
     different source set) — used by the ring-sharded backend. Falls back to
     interpreter mode automatically off-TPU (tests/CI). Tile geometry shrinks
     for small N so tiny problems don't pad to 8k.
+
+    Same-set sweeps route to the triangular shared-geometry kernel (1.8x on
+    hardware) once N is large enough to fill its square tiles.
     """
     if src_positions is None:
+        if positions.shape[0] >= 4 * 512 and ti is None and tj is None \
+                and subtiles is None:
+            return pallas_allpairs_forces_tri(
+                positions, u, v, cfg, interpret=interpret)
         src_positions, src_v = positions, v
     n_src = src_positions.shape[0]
     n = positions.shape[0]
@@ -320,3 +327,183 @@ def pallas_allpairs_forces(
         positions, u, src_positions, src_v, params_f, _r2_gate(cfg),
         cfg.force_law, bool(cfg.wrap_forces), ti, tj, subtiles, interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangular (shared-geometry) all-pairs kernel
+# ---------------------------------------------------------------------------
+#
+# The one-sided kernel computes the pair geometry (delta, wrap, d^2, gate,
+# sqrt) twice per unordered pair — once for (i,j), once for (j,i). Forces are
+# NOT symmetric here (the attraction matrix is asymmetric; gravity's
+# acceleration carries m_j), but the expensive geometry IS: this kernel walks
+# unordered tile pairs (i, j=(i+k) mod nt) on a (diagonal, i) grid, computes
+# the geometry once, evaluates the two directional scales (two rank-1 coef
+# matmuls), and accumulates into two outputs — rows into out_a[i], columns
+# into out_b[j] (summed afterwards). Output blocks are revisited
+# NON-consecutively; Pallas fetches block contents on revisit (verified on
+# hardware), and same-block revisits are >= nt grid steps apart so the
+# pipelining window never holds two copies.
+#
+# Diagonal k=0 is evaluated one-sided (a full (i,i) tile already covers every
+# ordered pair inside it); for even nt the k=nt/2 diagonal is computed only
+# for i < nt/2 to avoid double coverage.
+
+
+def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
+                r2row_ref, imask_ref, out_a_ref, out_b_ref,
+                *, law: str, wrap: bool, t: int, nt: int, use_rsqrt: bool):
+    k = pl.program_id(0)
+    w = pf_ref[0]
+    inv_w = pf_ref[1]
+
+    xi = pos_i_ref[:, 0:1]
+    yi = pos_i_ref[:, 1:2]
+    zi = pos_i_ref[:, 2:3]
+    dx = pos_jt_ref[0:1, :] - xi  # [T, T]
+    dy = pos_jt_ref[1:2, :] - yi
+    dz = pos_jt_ref[2:3, :] - zi
+    if wrap:
+        dx = dx - jnp.round(dx * inv_w) * w
+        dy = dy - jnp.round(dy * inv_w) * w
+        dz = dz - jnp.round(dz * inv_w) * w
+    d2 = dx * dx + dy * dy + dz * dz
+    in_r = d2 < r2row_ref[0:1, :]
+
+    coef_ij = jnp.dot(u_ref[:], vt_ref[:], preferred_element_type=jnp.float32)
+    coef_ji = jnp.dot(v_ref[:], ut_ref[:], preferred_element_type=jnp.float32)
+
+    if law == "particle_life":
+        safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
+        inv_d, d = _inv_sqrt(safe, use_rsqrt)
+        rep = pf_ref[_PF_INV_M] - inv_d
+        tshape = jnp.maximum(
+            1.0 - jnp.abs(2.0 * d - pf_ref[_PF_C1M]) * pf_ref[_PF_INV_1M], 0.0
+        ) * inv_d
+        is_rep = d < pf_ref[_PF_M]
+        s_ij = jnp.where(is_rep, rep, coef_ij * tshape)
+        s_ji = jnp.where(is_rep, rep, coef_ji * tshape)
+    elif law == "gravity":
+        dd2 = d2 + pf_ref[_PF_G_S2]
+        inv, _ = _inv_sqrt(dd2, use_rsqrt)
+        base = pf_ref[_PF_G] * (inv * inv * inv)
+        s_ij = jnp.where(in_r, coef_ij * base, 0.0)
+        s_ji = jnp.where(in_r, coef_ji * base, 0.0)
+    else:  # lennard_jones / spring: symmetric pair coefficient
+        valid = jnp.logical_and(d2 > 0.0, in_r)
+        safe = jnp.where(valid, d2, 1.0)
+        base = _scale(law, safe, 1.0, pf_ref, valid, use_rsqrt)
+        s_ij = coef_ij * base
+        s_ji = coef_ji * base
+
+    # mask padded receiver ROWS out of the j-side accumulation (padded
+    # source columns are already killed by r2row)
+    s_ji = s_ji * imask_ref[:, 0:1]
+
+    acc_a = jnp.concatenate(
+        [jnp.sum(dx * s_ij, axis=1, keepdims=True),
+         jnp.sum(dy * s_ij, axis=1, keepdims=True),
+         jnp.sum(dz * s_ij, axis=1, keepdims=True)], axis=1)  # [T, 3]
+
+    half_pair = jnp.logical_and(2 * k == nt, pl.program_id(1) * 2 >= nt)
+    scale_b = jnp.where(half_pair, 0.0, 1.0)
+    # j-side receives the negated deltas: acc_b = -sum_rows(d * s_ji)
+    acc_b = -jnp.concatenate(
+        [jnp.sum(dx * s_ji, axis=0)[:, None],
+         jnp.sum(dy * s_ji, axis=0)[:, None],
+         jnp.sum(dz * s_ji, axis=0)[:, None]], axis=1) * scale_b  # [T, 3]
+    # the i-side of a skipped half-diagonal step must also not accumulate
+    acc_a = acc_a * scale_b
+
+    @pl.when(k == 0)
+    def _():
+        out_a_ref[:] = acc_a
+        out_b_ref[:] = jnp.zeros_like(out_b_ref)
+
+    @pl.when(k > 0)
+    def _():
+        out_a_ref[:] = out_a_ref[:] + acc_a
+        out_b_ref[:] = out_b_ref[:] + acc_b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("law", "wrap", "t", "interpret"))
+def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
+    n = pos.shape[0]
+    np_ = _round_to(n, t)
+    nt = np_ // t
+
+    pos_p = _pad_rows(pos.astype(jnp.float32), np_)
+    u_p = _pad_rows(u.astype(jnp.float32), np_)
+    v_p = _pad_rows(v.astype(jnp.float32), np_)
+    pos_t = pos_p.T
+    ut = u_p.T
+    vt = v_p.T
+    r2row = jnp.full((1, np_), -1.0, jnp.float32).at[:, :n].set(
+        r2_gate.astype(jnp.float32))
+    imask = jnp.zeros((np_, 1), jnp.float32).at[:n].set(1.0)
+    p = u_p.shape[1]
+
+    def by_i(k, i):
+        return (i, 0)
+
+    def by_it(k, i):
+        return (0, i)
+
+    def by_j(k, i):
+        return ((i + k) % nt, 0)
+
+    def by_jt(k, i):
+        return (0, (i + k) % nt)
+
+    grid = (nt // 2 + 1, nt)
+    out_a, out_b = pl.pallas_call(
+        functools.partial(_tri_kernel, law=law, wrap=wrap, t=t, nt=nt,
+                          use_rsqrt=not interpret),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, t), by_jt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, p), by_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, p), by_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, t), by_jt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, t), by_jt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), by_jt, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), by_i, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 3), by_j, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(params_f, pos_p, pos_t, u_p, v_p, ut, vt, r2row, imask)
+    return (out_a + out_b)[:n]
+
+
+def pallas_allpairs_forces_tri(positions, u, v, cfg: SimConfig, *,
+                               t: int | None = None,
+                               interpret: bool | None = None):
+    """Triangular all-pairs forces [N,3] (same-set sweeps only).
+
+    Default tile: 640 for particle-life (measured VMEM fit on v5e, 1.0e11
+    pairs/s at N=262k), 512 for the other laws (more conservative)."""
+    n = positions.shape[0]
+    if interpret is None:
+        interpret = _use_interpret()
+    if t is None:
+        t = 640 if cfg.force_law == "particle_life" else 512
+    t = min(t, max(8, -(-n // 8) * 8))
+    if u.shape[1] < PAIR_P:
+        pad = PAIR_P - u.shape[1]
+        u = jnp.pad(u, ((0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+    return _tri_call(positions, u, v, pack_params(cfg), _r2_gate(cfg),
+                     cfg.force_law, bool(cfg.wrap_forces), t, interpret)

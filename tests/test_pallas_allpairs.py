@@ -101,3 +101,53 @@ def test_pallas_backend_in_step():
     b = step(st, cfg_p, dt)
     np.testing.assert_allclose(
         np.asarray(a.positions), np.asarray(b.positions), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [64, 200, 300])
+def test_triangular_matches_dense_particle_life(n):
+    from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces_tri
+
+    cfg = reference_config()
+    st = _scene(n, n, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=64))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_triangular_matches_dense_gravity_asymmetric():
+    """Gravity coef is asymmetric (m_j vs m_i) — exercises the two-direction
+    coefficient matmuls."""
+    from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces_tri
+
+    cfg = SimConfig(
+        force_law="gravity", gravity_constant=1.5, gravity_softening=0.3,
+        particle_effect_radius=4.0, world_size=20.0, wrap_forces=True,
+    ).validate()
+    rng = np.random.default_rng(8)
+    n = 150
+    g = np.stack(np.meshgrid(*[np.linspace(-8, 8, 6)] * 3), -1).reshape(-1, 3)
+    pos = (g[:n] + rng.normal(0, 0.2, (n, 3))).astype(np.float32)
+    st = from_numpy(pos, np.zeros_like(pos), np.zeros(n, np.int32),
+                    masses=rng.uniform(0.5, 2.0, n).astype(np.float32))
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=64))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_triangular_matches_dense_lj_nowrap():
+    from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces_tri
+
+    cfg = SimConfig(
+        force_law="lennard_jones", lj_epsilon=1.0, lj_sigma=0.3,
+        particle_effect_radius=1.5, world_size=12.0, wrap_forces=False,
+    ).validate()
+    rng = np.random.default_rng(9)
+    g = np.stack(np.meshgrid(*[np.linspace(-5, 5, 6)] * 3), -1).reshape(-1, 3)
+    pos = (g + rng.normal(0, 0.05, g.shape)).astype(np.float32)
+    st = from_numpy(pos, np.zeros_like(pos), np.zeros(len(pos), np.int32))
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=64))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
