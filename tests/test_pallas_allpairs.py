@@ -151,3 +151,37 @@ def test_triangular_matches_dense_lj_nowrap():
     want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
     got = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=64))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,t", [(128, 64), (96, 48), (260, 64)])
+def test_triangular_tile_count_edges(n, t):
+    """nt=2 exercises the even-nt half-diagonal mask; odd nt and ragged
+    padding exercise the modular tile pairing."""
+    from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces_tri
+
+    cfg = reference_config()
+    st = _scene(n + t, n, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=t))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_many_species_wide_features():
+    """id_count > PAIR_P: the coefficient matmul runs at P=12 unpadded."""
+    cfg = SimConfig(id_count=12, world_size=10.0).validate()
+    rng = np.random.default_rng(77)
+    m = rng.uniform(-1, 1, (12, 12)).astype(np.float32)
+    cfg = cfg.replace(attraction_matrix=m)
+    n = 200
+    pos = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    species = rng.integers(0, 12, n).astype(np.int32)
+    st = from_numpy(pos, np.zeros((n, 3), np.float32), species)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    got = np.asarray(pallas_allpairs_forces(st.positions, u, v, cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+    from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces_tri
+
+    got_t = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=64))
+    np.testing.assert_allclose(got_t, want, rtol=3e-4, atol=3e-5)
