@@ -55,7 +55,6 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
 
     ti = zr * cap            # receiver rows per chunk
     wl = (zr + 2) * cap      # window rows per column
-    tj = 9 * wl
     nchunks = nsc // zr
 
     def chunk(ch, _):
@@ -401,30 +400,18 @@ def layout_drift(layout: CellLayout, positions, cfg: SimConfig):
 
 def layout_forces(layout: CellLayout, positions, cfg: SimConfig,
                   nsc: int, cap: int, interpret: bool | None = None):
-    """Forces using a frozen layout: one position gather + the kernel."""
-    if interpret is None:
-        interpret = _use_interpret()
+    """Forces using a frozen layout for PARTICLE-ORDER positions: one gather
+    into the dense slots, the kernel, one scatter back. Prefer dense_forces
+    when the state already lives in the slot layout (simulate_cadenced)."""
     n = positions.shape[0]
-    ncol = nsc * nsc
-    cs = nsc * cap
     slot = layout.slot_particle
     present = slot >= 0
     safe = jnp.where(present, slot, 0)
-    pos_d = positions[safe.reshape(-1)].reshape(ncol, cs, 3).astype(jnp.float32)
-    wrap = bool(cfg.wrap_forces)
-    if wrap:
-        pos_g = jnp.concatenate(
-            [pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
-    else:
-        zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
-        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], axis=1)
-        pos_g = jnp.concatenate(
-            [pos_g, jnp.zeros((1, cs + 2 * cap, 3), jnp.float32)], axis=0)
-    post_g = jnp.transpose(pos_g, (0, 2, 1))
-    params_f = pack_params(cfg)
-    forces_d = _call(pos_d, layout.u_d, post_g, layout.vt_g, layout.r2_g,
-                     params_f, cfg.force_law, wrap, nsc, cap, interpret)
+    pos_flat = positions[safe.reshape(-1)]
+    pos_flat = jnp.where(present.reshape(-1, 1), pos_flat,
+                         jnp.zeros_like(pos_flat))
+    forces_flat = dense_forces(layout, pos_flat, cfg, nsc, cap, interpret)
     out = jnp.zeros((n + 1, 3), positions.dtype)
     flat = jnp.where(present, slot, n).reshape(-1)
-    out = out.at[flat].add(forces_d.reshape(-1, 3))
+    out = out.at[flat].add(forces_flat)
     return out[:n]
