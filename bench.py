@@ -59,12 +59,14 @@ def main():
     print(f"[bench] N={n} brute-force all-pairs kernel: {steps_per_s:.3f} "
           f"steps/s = {pairs_per_s:.3e} pair-interactions/s", file=sys.stderr)
 
-    # --- headline: N=262k particle-life on the PRODUCTION neighbor path ---
-    # (the north star replaces brute force past ~100k with the cell list;
-    #  effective rate = N^2 * steps/s, i.e. the same physics per step)
+    # --- headline: the measured BRUTE-FORCE kernel rate. The cell-list
+    # path's "effective" N^2 rate counts pairs the cell list never computes,
+    # so it goes under its own key (extra) with its own semantics, not into
+    # vs_baseline (whose 1e11 target is defined for actual pair evaluations).
     headline_pairs_per_s = pairs_per_s
     headline_name = ("pair_interactions_per_sec_allpairs_N262k" if on_tpu
                      else "pair_interactions_per_sec_allpairs_smallN_cpu_fallback")
+    extra = {"allpairs_steps_per_s_N262k": steps_per_s}
     if on_tpu:
         # particle-life particles move fast (drift > cell slack), so the
         # exact configuration rebuilds the cell layout every step
@@ -74,10 +76,31 @@ def main():
         print(f"[bench] N={n} particle-life, pallas cell list (production "
               f"path, per-step rebuild): {8 / secc:.2f} steps/s = {eff:.3e} "
               f"effective pair-interactions/s", file=sys.stderr)
-        if eff > headline_pairs_per_s:
-            headline_pairs_per_s = eff
-            headline_name = ("effective_pair_interactions_per_sec_N262k_"
-                             "particle_life_celllist")
+        extra["celllist_steps_per_s_N262k_per_step_rebuild"] = 8 / secc
+        extra["effective_pair_interactions_per_sec_N262k_celllist"] = eff
+
+        # --- on-TPU cross-backend equivalence: the production cell kernel
+        # must reproduce the triangular all-pairs forces in COMPILED mode
+        # (CI only exercises interpret mode) -----------------------------
+        from particle3d_tpu.ops import forces as FF
+        from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces_tri
+        from particle3d_tpu.ops.pallas_celllist import pallas_celllist_forces
+        import numpy as np
+
+        u, v = FF.pair_features(stc, cfgc)
+        f_cell = np.asarray(pallas_celllist_forces(
+            stc.positions, u, v, cfgc))
+        f_tri = np.asarray(pallas_allpairs_forces_tri(
+            stc.positions, u, v, cfgc))
+        scale = max(1e-6, float(np.max(np.abs(f_tri))))
+        rel = float(np.max(np.abs(f_cell - f_tri))) / scale
+        print(f"[bench] on-TPU equivalence celllist_pallas vs triangular "
+              f"all-pairs (N={n}, 1 force sweep): max rel err {rel:.2e}",
+              file=sys.stderr)
+        assert rel < 5e-5, (
+            f"compiled-mode backend mismatch: celllist_pallas vs triangular "
+            f"all-pairs rel err {rel:.2e}")
+        extra["celllist_vs_allpairs_rel_err"] = rel
 
     if on_tpu:
         # --- N=4096 steps/sec (reference demo scale, x4) ------------------
@@ -121,6 +144,7 @@ def main():
                 (np.asarray(outp.positions) - ref_pos) ** 2)))
             print(f"[bench] trajectory L2 vs reference-exact native engine "
                   f"(N=1000, {steps_p} steps): {l2:.2e}", file=sys.stderr)
+            extra["trajectory_l2_vs_native_N1k_120steps"] = l2
     except Exception as e:
         print(f"[bench] parity check skipped: {e}", file=sys.stderr)
 
@@ -130,6 +154,7 @@ def main():
         "value": headline_pairs_per_s,
         "unit": "pairs/s",
         "vs_baseline": headline_pairs_per_s / baseline,
+        **extra,
     }))
 
 

@@ -53,6 +53,9 @@ class SimulationApp:
         self.step_index = 0
         self.update_timer = StepTimer()
         self.frame_timer = StepTimer()
+        # cadence-exactness tracking for the cell-list backend (see run_steps)
+        self.max_drift = 0.0
+        self._per_step_rebuild = False
 
     # ------------------------------------------------------------------ #
     # frame loop (C14)
@@ -75,14 +78,46 @@ class SimulationApp:
             self._accum -= n_steps * dt
         return n_steps
 
+    def drift_budget(self) -> float:
+        """Max per-particle drift the frozen cell layout tolerates between
+        rebuilds ((cell_width - cutoff)/2); <= 0 means cadenced stepping can
+        never be exact for this config."""
+        from ..ops.pallas_celllist import drift_budget
+
+        nsc = self.cfg.cell_grid
+        if nsc is None:
+            from ..ops.celllist import grid_dims
+
+            nsc = grid_dims(float(np.asarray(self.cfg.world_size)),
+                            float(np.asarray(self.cfg.particle_effect_radius)))
+        return float(np.asarray(drift_budget(self.cfg, nsc)))
+
     def run_steps(self, n_steps: int) -> None:
-        """Run n_steps at the fixed timestep, batched on device."""
+        """Run n_steps at the fixed timestep, batched on device.
+
+        For the cell-list backend the layout rebuild is cadenced across the
+        batch ONLY while that is exact: when the config's drift budget is
+        non-positive (cell width == cutoff, e.g. the flagship 262k preset) or
+        observed drift ever exceeds the budget, the app falls back to
+        per-step rebuilds — the same exactness rule bench.py applies.
+        """
         dt = jnp.float32(1.0 / self.update_rate)
         if self.cfg.neighbor == "celllist_pallas":
             from ..engine.step import simulate_cadenced
 
-            self.state, _ = simulate_cadenced(
-                self.state, self.cfg, dt, n_steps, rebuild_every=n_steps)
+            budget = self.drift_budget()
+            cadence = n_steps
+            if budget <= 0.0 or self._per_step_rebuild or n_steps == 1:
+                cadence = 1
+            self.state, drift = simulate_cadenced(
+                self.state, self.cfg, dt, n_steps, rebuild_every=cadence)
+            if cadence > 1:
+                drift = float(np.asarray(drift))
+                self.max_drift = max(self.max_drift, drift)
+                if drift > budget:
+                    # this window may have missed in-range pairs; stop
+                    # trusting cadenced layouts for this scene
+                    self._per_step_rebuild = True
         else:
             self.state = simulate(self.state, self.cfg, dt, n_steps)
         jax.block_until_ready(self.state.positions)
@@ -194,6 +229,12 @@ class SimulationApp:
             frame_ms=self.frame_timer.ema_ms,
             update_rate=self.update_rate,
         )
+        if self.cfg.neighbor == "celllist_pallas":
+            m.update(
+                max_drift=self.max_drift,
+                drift_budget=self.drift_budget(),
+                per_step_rebuild=self._per_step_rebuild,
+            )
         return m
 
     def save(self, path: str) -> None:

@@ -59,9 +59,13 @@ def pair_accel(positions, state: ParticleState, cfg: SimConfig):
 
 
 def _drag(v, cfg: SimConfig, dt):
-    """Reference drag with stop-at-zero (src/lib.rs:252-259)."""
+    """Reference drag with stop-at-zero (src/lib.rs:252-259).
+
+    The reference tests |v*c*dt|^2 > |v|^2, i.e. (c*dt)^2 > 1 — the absolute
+    value matters for (unclamped) negative coefficients, where c*dt < -1 must
+    also stop the particle rather than amplify it."""
     c = cfg.coefficient * dt
-    return jnp.where(c > 1.0, jnp.zeros_like(v), v - v * c)
+    return jnp.where(jnp.abs(c) > 1.0, jnp.zeros_like(v), v - v * c)
 
 
 def _step_euler(state: ParticleState, cfg: SimConfig, dt, accel_fn) -> ParticleState:
@@ -184,13 +188,12 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
         cap = cfg.cell_capacity
     assert nsc is not None and cap is not None, \
         "simulate_cadenced needs cfg.cell_grid / cfg.cell_capacity"
-    assert num_steps % rebuild_every == 0
     outer = num_steps // rebuild_every
+    rem = num_steps % rebuild_every
 
     from ..ops.pallas_celllist import dense_forces, slot_of_particle
 
-    def outer_body(carry, _):
-        s, max_drift = carry
+    def run_window(s, max_drift, k):
         u, v = FF.pair_features(s, cfg)
         layout = build_layout(s.positions, u, v, cfg, nsc, cap)
 
@@ -222,7 +225,7 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
         def inner(ss, _):
             return step(ss, cfg, dt, accel_fn=accel_fn), None
 
-        dense, _ = jax.lax.scan(inner, dense, None, length=rebuild_every)
+        dense, _ = jax.lax.scan(inner, dense, None, length=k)
 
         # migrate back to particle order; overflow-dropped particles (slot
         # -1, only possible past capacity) keep their previous state
@@ -243,8 +246,13 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
             accel=back(dense.accel, s.accel),
         )
         max_drift = jnp.maximum(max_drift, layout_drift(layout, s.positions, cfg))
-        return (s, max_drift), None
+        return s, max_drift
 
-    (state, max_drift), _ = jax.lax.scan(
-        outer_body, (state, jnp.float32(0.0)), None, length=outer)
-    return state, max_drift
+    carry = (state, jnp.float32(0.0))
+    if outer:
+        carry, _ = jax.lax.scan(
+            lambda c, _: (run_window(*c, rebuild_every), None),
+            carry, None, length=outer)
+    if rem:  # trailing partial window — same layout-rebuild semantics
+        carry = run_window(*carry, rem)
+    return carry

@@ -145,10 +145,12 @@ def _kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, vt_ref, r2row_ref, out_ref,
             safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
             sca = _scale(law, safe, coef, pf_ref, None, use_rsqrt)
         elif law == "gravity":
-            # softening keeps d2=0 finite; s*dx=0 removes self-force, so only
-            # the radius/padding gate is needed
-            safe = d2
-            sca = _scale(law, safe, coef, pf_ref, in_r, use_rsqrt)
+            # mask d2 == 0 (self pairs / coincident particles): with
+            # softening > 0 they would contribute s*dx = 0 anyway, but with
+            # softening == 0 rsqrt(0) = inf and inf*0 = NaN poisons the row
+            valid = jnp.logical_and(d2 > 0.0, in_r)
+            safe = jnp.where(valid, d2, 1.0)
+            sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
         else:
             valid = jnp.logical_and(d2 > 0.0, in_r)
             safe = jnp.where(valid, d2, 1.0)
@@ -384,11 +386,12 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
         s_ij = jnp.where(is_rep, rep, coef_ij * tshape)
         s_ji = jnp.where(is_rep, rep, coef_ji * tshape)
     elif law == "gravity":
-        dd2 = d2 + pf_ref[_PF_G_S2]
+        valid = jnp.logical_and(d2 > 0.0, in_r)  # guard softening == 0
+        dd2 = jnp.where(valid, d2, 1.0) + pf_ref[_PF_G_S2]
         inv, _ = _inv_sqrt(dd2, use_rsqrt)
         base = pf_ref[_PF_G] * (inv * inv * inv)
-        s_ij = jnp.where(in_r, coef_ij * base, 0.0)
-        s_ji = jnp.where(in_r, coef_ji * base, 0.0)
+        s_ij = jnp.where(valid, coef_ij * base, 0.0)
+        s_ji = jnp.where(valid, coef_ji * base, 0.0)
     else:  # lennard_jones / spring: symmetric pair coefficient
         valid = jnp.logical_and(d2 > 0.0, in_r)
         safe = jnp.where(valid, d2, 1.0)

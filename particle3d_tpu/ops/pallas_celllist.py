@@ -86,7 +86,10 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
             safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
             sca = _scale(law, safe, coef, pf_ref, None, use_rsqrt)
         elif law == "gravity":
-            sca = _scale(law, d2, coef, pf_ref, in_r, use_rsqrt)
+            # d2 > 0 guards softening == 0 (NaN poisoning); see pallas_allpairs
+            valid = jnp.logical_and(d2 > 0.0, in_r)
+            safe = jnp.where(valid, d2, 1.0)
+            sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
         else:
             valid = jnp.logical_and(d2 > 0.0, in_r)
             safe = jnp.where(valid, d2, 1.0)

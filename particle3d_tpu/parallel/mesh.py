@@ -18,17 +18,34 @@ AXIS = "shard"  # the particle-sharding mesh axis name
 
 def make_mesh(n_devices: int | None = None, axis: str = AXIS,
               devices=None) -> Mesh:
-    """1-D mesh over the fastest interconnect (ICI within a slice)."""
+    """1-D mesh over the fastest interconnect (ICI within a slice).
+
+    Raises when fewer devices exist than requested — a silently truncated
+    mesh would "pass" sharding checks while exercising zero inter-device
+    communication.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} available ({jax.default_backend()} backend); "
+                f"for a virtual CPU mesh set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} before jax initializes")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
 
 def make_mesh_2d(dcn: int, ici: int, axes=("dcn", AXIS)) -> Mesh:
     """2-D (hosts x chips) mesh: outer axis over DCN, inner over ICI."""
-    devices = np.array(jax.devices()[: dcn * ici]).reshape(dcn, ici)
+    avail = jax.devices()
+    if len(avail) < dcn * ici:
+        raise ValueError(
+            f"make_mesh_2d: {dcn}x{ici} devices requested but only "
+            f"{len(avail)} available")
+    devices = np.array(avail[: dcn * ici]).reshape(dcn, ici)
     return Mesh(devices, axes)
 
 
