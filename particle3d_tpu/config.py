@@ -32,7 +32,9 @@ import numpy as np
 FORCE_LAWS = ("particle_life", "lennard_jones", "gravity", "spring")
 INTEGRATORS = ("euler", "velocity_verlet", "leapfrog")
 BOUNDARIES = ("wrap", "clamp", "reflect")
-NEIGHBOR_BACKENDS = ("allpairs", "allpairs_pallas", "celllist", "celllist_pallas")
+NEIGHBOR_BACKENDS = ("allpairs", "allpairs_pallas", "allpairs_mxu",
+                     "celllist", "celllist_pallas")
+PRECISIONS = ("exact", "fast")
 
 # Default species palette — reference ``src/bin/main.rs:126-132``.
 DEFAULT_COLORS = np.array(
@@ -103,6 +105,14 @@ class SimConfig:
     # when config values are traced (e.g. inside jit/scan).
     cell_grid: int | None = None
     cell_capacity: int | None = None
+    # static ghost-image capacity for the allpairs_mxu backend with periodic
+    # forces (None derives from concrete world/radius at call time; set
+    # explicitly when config values are traced) — see
+    # ops.pallas_allpairs_mxu.recommended_ghost_capacity.
+    ghost_capacity: int | None = None
+    # "exact" | "fast": the allpairs_mxu backend's geometry mode ("fast"
+    # computes pair distances on the MXU, ~1e-3 relative on contact pairs).
+    precision: str = "exact"
     force_law: str = "particle_life"
     integrator: str = "euler"
     boundary: str = "wrap"  # reference: walls=False -> wrap, True -> clamp
@@ -154,6 +164,8 @@ class SimConfig:
             raise ConfigError(f"unknown boundary {self.boundary!r}; one of {BOUNDARIES}")
         if self.neighbor not in NEIGHBOR_BACKENDS:
             raise ConfigError(f"unknown neighbor backend {self.neighbor!r}; one of {NEIGHBOR_BACKENDS}")
+        if self.precision not in PRECISIONS:
+            raise ConfigError(f"unknown precision {self.precision!r}; one of {PRECISIONS}")
         if self.id_count < 1:
             raise ConfigError("id_count must be >= 1")
         ws = np.asarray(self.world_size)
@@ -189,7 +201,9 @@ class SimConfig:
 
 
 _ALL_FIELDS = [f.name for f in dataclasses.fields(SimConfig)]
-_META_FIELDS = ["id_count", "force_law", "integrator", "boundary", "neighbor", "wrap_forces", "cell_grid", "cell_capacity"]
+_META_FIELDS = ["id_count", "force_law", "integrator", "boundary", "neighbor",
+                "wrap_forces", "cell_grid", "cell_capacity", "ghost_capacity",
+                "precision"]
 _DATA_FIELDS = [n for n in _ALL_FIELDS if n not in _META_FIELDS]
 
 jax.tree_util.register_dataclass(

@@ -45,6 +45,10 @@ def pair_accel(positions, state: ParticleState, cfg: SimConfig):
         from ..ops.pallas_allpairs import pallas_allpairs_forces
 
         f = pallas_allpairs_forces(positions, u, v, cfg)
+    elif cfg.neighbor == "allpairs_mxu":
+        from ..ops.pallas_allpairs_mxu import pallas_allpairs_forces_mxu
+
+        f = pallas_allpairs_forces_mxu(positions, u, v, cfg)
     elif cfg.neighbor == "celllist":
         from ..ops.celllist import celllist_forces
 

@@ -62,7 +62,9 @@ _PF_G = 8        # gravity constant
 _PF_G_S2 = 9     # gravity softening^2
 _PF_K = 10       # spring stiffness
 _PF_L = 11       # spring rest length
-_PF_LEN = 12
+_PF_T2 = 12      # 2 / (1 - min_pull_ratio)   (triangular shape, folded)
+_PF_TC = 13      # (1 + min_pull_ratio) / (1 - min_pull_ratio)
+_PF_LEN = 14
 
 
 def _inv_sqrt(d2, use_rsqrt: bool):
@@ -89,9 +91,10 @@ def _scale(law: str, d2, coef, pf, valid, use_rsqrt: bool):
         # repulsion (d < m): f/d = (d/m - 1)/d = 1/m - 1/d
         rep = pf[_PF_INV_M] - inv_d
         # triangular (m <= d): zero at d=m and at d>=1 by construction;
+        # folded form 1 - |d*2/(1-m) - (1+m)/(1-m)| (one fewer VPU pass);
         # clamp at 0 so park/no-force pairs cannot go negative
         tri = coef * (jnp.maximum(
-            1.0 - jnp.abs(2.0 * d - pf[_PF_C1M]) * pf[_PF_INV_1M], 0.0) * inv_d)
+            1.0 - jnp.abs(d * pf[_PF_T2] - pf[_PF_TC]), 0.0) * inv_d)
         return jnp.where(d < pf[_PF_M], rep, tri)
     if law == "lennard_jones":
         inv_d2 = 1.0 / d2
@@ -263,6 +266,8 @@ def pack_params(cfg: SimConfig):
         soft * soft,
         f32(cfg.spring_stiffness),
         f32(cfg.spring_rest_length),
+        2.0 / (1.0 - m),
+        (1.0 + m) / (1.0 - m),
     ])
 
 
@@ -357,8 +362,10 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
                 *, law: str, wrap: bool, t: int, nt: int, use_rsqrt: bool):
     k = pl.program_id(0)
     w = pf_ref[0]
-    inv_w = pf_ref[1]
 
+    # In wrap mode positions arrive PRE-SCALED by 1/w (and r2row by 1/w^2):
+    # the minimum image is then dx' - round(dx') — 3 VPU passes per component
+    # instead of 5 — and one d2 rescale returns to world units for the law.
     xi = pos_i_ref[:, 0:1]
     yi = pos_i_ref[:, 1:2]
     zi = pos_i_ref[:, 2:3]
@@ -366,35 +373,39 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
     dy = pos_jt_ref[1:2, :] - yi
     dz = pos_jt_ref[2:3, :] - zi
     if wrap:
-        dx = dx - jnp.round(dx * inv_w) * w
-        dy = dy - jnp.round(dy * inv_w) * w
-        dz = dz - jnp.round(dz * inv_w) * w
+        dx = dx - jnp.round(dx)
+        dy = dy - jnp.round(dy)
+        dz = dz - jnp.round(dz)
     d2 = dx * dx + dy * dy + dz * dz
     in_r = d2 < r2row_ref[0:1, :]
+    # Q8 self/coincidence gate. In wrap mode XLA may fuse the outside 1/w
+    # pre-scale into an FMA inside the subtraction, leaving ~1-ulp nonzero
+    # self-pair deltas — gate on the SCALED d2 with a threshold safely above
+    # that noise (3*(2^-24)^2 ~ 1e-14) instead of relying on exact zeros.
+    valid = jnp.logical_and(d2 > (1e-12 if wrap else 0.0), in_r)
+    if wrap:
+        d2 = d2 * (w * w)
 
     coef_ij = jnp.dot(u_ref[:], vt_ref[:], preferred_element_type=jnp.float32)
     coef_ji = jnp.dot(v_ref[:], ut_ref[:], preferred_element_type=jnp.float32)
 
+    safe = jnp.where(valid, d2, 1.0)
     if law == "particle_life":
-        safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
         inv_d, d = _inv_sqrt(safe, use_rsqrt)
         rep = pf_ref[_PF_INV_M] - inv_d
         tshape = jnp.maximum(
-            1.0 - jnp.abs(2.0 * d - pf_ref[_PF_C1M]) * pf_ref[_PF_INV_1M], 0.0
-        ) * inv_d
+            1.0 - jnp.abs(d * pf_ref[_PF_T2] - pf_ref[_PF_TC]), 0.0
+        ) * inv_d  # parked d=1 pairs land here, exactly 0
         is_rep = d < pf_ref[_PF_M]
         s_ij = jnp.where(is_rep, rep, coef_ij * tshape)
         s_ji = jnp.where(is_rep, rep, coef_ji * tshape)
     elif law == "gravity":
-        valid = jnp.logical_and(d2 > 0.0, in_r)  # guard softening == 0
-        dd2 = jnp.where(valid, d2, 1.0) + pf_ref[_PF_G_S2]
+        dd2 = safe + pf_ref[_PF_G_S2]  # valid gate guards softening == 0
         inv, _ = _inv_sqrt(dd2, use_rsqrt)
         base = pf_ref[_PF_G] * (inv * inv * inv)
         s_ij = jnp.where(valid, coef_ij * base, 0.0)
         s_ji = jnp.where(valid, coef_ji * base, 0.0)
     else:  # lennard_jones / spring: symmetric pair coefficient
-        valid = jnp.logical_and(d2 > 0.0, in_r)
-        safe = jnp.where(valid, d2, 1.0)
         base = _scale(law, safe, 1.0, pf_ref, valid, use_rsqrt)
         s_ij = coef_ij * base
         s_ji = coef_ji * base
@@ -410,6 +421,8 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
 
     half_pair = jnp.logical_and(2 * k == nt, pl.program_id(1) * 2 >= nt)
     scale_b = jnp.where(half_pair, 0.0, 1.0)
+    if wrap:  # deltas are in scaled units; restore world units (cheap [T,3])
+        scale_b = scale_b * w
     # j-side receives the negated deltas: acc_b = -sum_rows(d * s_ji)
     acc_b = -jnp.concatenate(
         [jnp.sum(dx * s_ji, axis=0)[:, None],
@@ -436,14 +449,19 @@ def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
     np_ = _round_to(n, t)
     nt = np_ // t
 
-    pos_p = _pad_rows(pos.astype(jnp.float32), np_)
+    pos32 = pos.astype(jnp.float32)
+    r2 = r2_gate.astype(jnp.float32)
+    if wrap:  # pre-scale to box units: in-kernel wrap = dx - round(dx)
+        inv_w = params_f[_PF_INV_W]
+        pos32 = pos32 * inv_w
+        r2 = r2 * (inv_w * inv_w)
+    pos_p = _pad_rows(pos32, np_)
     u_p = _pad_rows(u.astype(jnp.float32), np_)
     v_p = _pad_rows(v.astype(jnp.float32), np_)
     pos_t = pos_p.T
     ut = u_p.T
     vt = v_p.T
-    r2row = jnp.full((1, np_), -1.0, jnp.float32).at[:, :n].set(
-        r2_gate.astype(jnp.float32))
+    r2row = jnp.full((1, np_), -1.0, jnp.float32).at[:, :n].set(r2)
     imask = jnp.zeros((np_, 1), jnp.float32).at[:n].set(1.0)
     p = u_p.shape[1]
 

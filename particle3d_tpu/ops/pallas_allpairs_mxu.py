@@ -1,10 +1,19 @@
 """Ghost-augmented triangular all-pairs kernel with MXU force accumulation.
 
+STATUS: experimental — correct on every backend, but MEASURED SLOWER than
+the triangular VPU kernel on a v5e (see docs/PERF.md "MXU formulation:
+measured and rejected"). Mosaic pads the narrow matmul dims ([T,T]x[T,4]
+accumulation, [T,4]x[4,T] Gram) to 128 lanes, and the |p|-scale cancellation
+in both factorizations forces HIGHEST-precision (6-pass) matmuls — together
+that costs more than the ~24 VPU passes it removes. Kept as the measured
+reference point for the d^2/S@P design (ROADMAP round-1 item 2) and for the
+ghost-image machinery, which is independent of the MXU question.
+
 The round-1 triangular kernel (``pallas_allpairs.py``) is VPU op-slot bound:
 per unordered tile pair it spends ~12 VPU passes on the minimum-image wrap
 and ~12 more on the ``dx*s`` accumulation + lane reductions. This kernel
-removes both bottlenecks with two TPU-first moves (ROADMAP item 2; replaces
-the same reference hot loop, ``src/lib.rs:176-243``):
+removes both bottlenecks with two TPU-first moves (replacing the same
+reference hot loop, ``src/lib.rs:176-243``):
 
   * **Periodic wrap via ghost images instead of per-pair wrap math.** Before
     the sweep, every particle within the cutoff shell of a box face gets a
@@ -46,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SimConfig
 from .pallas_allpairs import (
     PAIR_P, _scale, _inv_sqrt, pack_params, _r2_gate, _use_interpret,
-    _pad_rows, _round_to, _PF_INV_M, _PF_C1M, _PF_INV_1M, _PF_M, _PF_G_S2,
+    _pad_rows, _round_to, _PF_INV_M, _PF_T2, _PF_TC, _PF_M, _PF_G_S2,
     _PF_G,
 )
 
@@ -68,9 +77,12 @@ def _mxu_kernel(pf_ref, p4_i_ref, p4_j_ref, p4_jt_ref, u_ref, v_ref, ut_ref,
 
     if fast:
         # d^2 = |pi|^2 + |pj|^2 - 2 pi.pj on the MXU. The ones column makes
-        # G4 = pi.pj + 1, folded into the constant below.
+        # G4 = pi.pj + 1, folded into the constant below. HIGHEST precision
+        # is required: the |p|^2-scale cancellation amplifies the default
+        # bf16 operand rounding to O(1) errors in d^2 (measured on v5e).
         g4 = jnp.dot(p4_i, p4_jt_ref[:],
-                     preferred_element_type=jnp.float32)  # [T, T]
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [T, T]
         ni = (p4_i[:, 0:1] * p4_i[:, 0:1] + p4_i[:, 1:2] * p4_i[:, 1:2]
               + p4_i[:, 2:3] * p4_i[:, 2:3])              # [T, 1]
         nj = (p4_jt_ref[0:1, :] * p4_jt_ref[0:1, :]
@@ -99,7 +111,7 @@ def _mxu_kernel(pf_ref, p4_i_ref, p4_j_ref, p4_jt_ref, u_ref, v_ref, ut_ref,
         inv_d, d = _inv_sqrt(safe, use_rsqrt)
         rep = pf_ref[_PF_INV_M] - inv_d
         tshape = jnp.maximum(
-            1.0 - jnp.abs(2.0 * d - pf_ref[_PF_C1M]) * pf_ref[_PF_INV_1M], 0.0
+            1.0 - jnp.abs(d * pf_ref[_PF_T2] - pf_ref[_PF_TC]), 0.0
         ) * inv_d
         is_rep = d < pf_ref[_PF_M]  # parked d=1 lands in tshape == 0
         s_ij = jnp.where(is_rep, rep, coef_ij * tshape)
@@ -122,13 +134,17 @@ def _mxu_kernel(pf_ref, p4_i_ref, p4_j_ref, p4_jt_ref, u_ref, v_ref, ut_ref,
     half_pair = jnp.logical_and(2 * k == nt, pl.program_id(1) * 2 >= nt)
     scale_b = jnp.where(half_pair, 0.0, 1.0)
 
-    # F_i = sum_j s_ij (p_j - p_i): one [T,T]x[T,4] matmul + a rank-1 fixup
-    acc_a4 = jnp.dot(s_ij, p4_j, preferred_element_type=jnp.float32)  # [T,4]
+    # F_i = sum_j s_ij (p_j - p_i): one [T,T]x[T,4] matmul + a rank-1 fixup.
+    # HIGHEST precision: the factored form subtracts two |p|-magnitude sums,
+    # so bf16 operand rounding in the matmul would dominate the force.
+    acc_a4 = jnp.dot(s_ij, p4_j, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [T,4]
     acc_a = (acc_a4[:, 0:3] - p4_i[:, 0:3] * acc_a4[:, 3:4]) * scale_b
     # F_j = sum_i s_ji (p_i - p_j): contract the i (row) axis
     acc_b4 = jax.lax.dot_general(
         s_ji, p4_i, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [T, 4]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [T, 4]
     acc_b = (acc_b4[:, 0:3] - p4_j[:, 0:3] * acc_b4[:, 3:4]) * scale_b
 
     @pl.when(k == 0)
