@@ -69,14 +69,22 @@ def main():
     extra = {"allpairs_steps_per_s_N262k": steps_per_s}
     if on_tpu:
         # particle-life particles move fast (drift > cell slack), so the
-        # exact configuration rebuilds the cell layout every step
+        # exact configuration keeps the layout fresh every step — via the
+        # incrementally-maintained dense layout (bit-equal to a per-step
+        # full rebuild, ~2.5x faster; ops/celllist_dense.py)
+        from particle3d_tpu.engine.step import simulate_dense
+
         stc, cfgc, dtc = make_scene("particle_life_large")
-        secc = _timed(lambda: simulate(stc, cfgc, dt, 8).positions, 2)
-        eff = float(n) * float(n) * (8 / secc)
+        secc = _timed(
+            lambda: simulate_dense(stc, cfgc, dt, 16)[0].positions, 2)
+        _, (mx_mov, mx_mis) = simulate_dense(stc, cfgc, dt, 16)
+        eff = float(n) * float(n) * (16 / secc)
         print(f"[bench] N={n} particle-life, pallas cell list (production "
-              f"path, per-step rebuild): {8 / secc:.2f} steps/s = {eff:.3e} "
-              f"effective pair-interactions/s", file=sys.stderr)
-        extra["celllist_steps_per_s_N262k_per_step_rebuild"] = 8 / secc
+              f"path, incremental per-step relayout — exact): "
+              f"{16 / secc:.2f} steps/s = {eff:.3e} effective "
+              f"pair-interactions/s (max movers/step {int(mx_mov)}, "
+              f"capacity-masked {int(mx_mis)})", file=sys.stderr)
+        extra["celllist_steps_per_s_N262k_exact"] = 16 / secc
         extra["effective_pair_interactions_per_sec_N262k_celllist"] = eff
 
         # --- on-TPU cross-backend equivalence: the production cell kernel

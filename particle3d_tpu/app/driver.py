@@ -55,6 +55,7 @@ class SimulationApp:
         self.frame_timer = StepTimer()
         # cadence-exactness tracking for the cell-list backend (see run_steps)
         self.max_drift = 0.0
+        self.capacity_masked = 0
         self._per_step_rebuild = False
 
     # ------------------------------------------------------------------ #
@@ -92,26 +93,46 @@ class SimulationApp:
                             float(np.asarray(self.cfg.particle_effect_radius)))
         return float(np.asarray(drift_budget(self.cfg, nsc)))
 
+    def _cell_geometry(self) -> tuple[int, int]:
+        """(nsc, cap) for the cell backend, derived when not configured."""
+        nsc, cap = self.cfg.cell_grid, self.cfg.cell_capacity
+        if nsc is None:
+            from ..ops.celllist import grid_dims
+
+            nsc = grid_dims(float(np.asarray(self.cfg.world_size)),
+                            float(np.asarray(self.cfg.particle_effect_radius)))
+        if cap is None:
+            from ..ops.celllist import default_capacity
+
+            cap = default_capacity(self.state.n, nsc, slack=2.5)
+        return nsc, cap
+
     def run_steps(self, n_steps: int) -> None:
         """Run n_steps at the fixed timestep, batched on device.
 
         For the cell-list backend the layout rebuild is cadenced across the
         batch ONLY while that is exact: when the config's drift budget is
         non-positive (cell width == cutoff, e.g. the flagship 262k preset) or
-        observed drift ever exceeds the budget, the app falls back to
-        per-step rebuilds — the same exactness rule bench.py applies.
+        observed drift ever exceeds the budget, the app switches to the
+        incrementally-maintained dense layout (``simulate_dense`` — layout
+        fresh every step, no drift condition), the same exactness rule
+        bench.py applies.
         """
         dt = jnp.float32(1.0 / self.update_rate)
         if self.cfg.neighbor == "celllist_pallas":
-            from ..engine.step import simulate_cadenced
-
             budget = self.drift_budget()
-            cadence = n_steps
             if budget <= 0.0 or self._per_step_rebuild or n_steps == 1:
-                cadence = 1
-            self.state, drift = simulate_cadenced(
-                self.state, self.cfg, dt, n_steps, rebuild_every=cadence)
-            if cadence > 1:
+                from ..engine.step import simulate_dense
+
+                nsc, cap = self._cell_geometry()
+                self.state, (mov, mis) = simulate_dense(
+                    self.state, self.cfg, dt, n_steps, nsc=nsc, cap=cap)
+                self.capacity_masked = max(self.capacity_masked, int(mis))
+            else:
+                from ..engine.step import simulate_cadenced
+
+                self.state, drift = simulate_cadenced(
+                    self.state, self.cfg, dt, n_steps, rebuild_every=n_steps)
                 drift = float(np.asarray(drift))
                 self.max_drift = max(self.max_drift, drift)
                 if drift > budget:
@@ -234,6 +255,7 @@ class SimulationApp:
                 max_drift=self.max_drift,
                 drift_budget=self.drift_budget(),
                 per_step_rebuild=self._per_step_rebuild,
+                capacity_masked=self.capacity_masked,
             )
         return m
 

@@ -169,6 +169,68 @@ def trajectory(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     return state, snaps
 
 
+@functools.partial(jax.jit, static_argnames=("num_steps", "nsc", "cap", "mcap"))
+def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
+                   nsc: int | None = None, cap: int | None = None,
+                   mcap: int | None = None):
+    """Exact cell-list trajectory on the incrementally-maintained dense
+    layout (``ops.celllist_dense``): the state lives in slot order for the
+    whole run, and after every step only supercell-boundary crossers are
+    reassigned — no per-step sort, gather or scatter of the full state. The
+    layout is fresh after every step, so no drift budget applies (unlike
+    ``simulate_cadenced``); this is the fast EXACT path for drift-heavy
+    scenes like the 262k particle-life production config.
+
+    With non-Euler integrators the mid-step force evaluation reuses the
+    layout built at the pre-drift positions (one step of staleness — exact
+    while per-step drift stays under ``drift_budget``; Euler is always
+    exact).
+
+    Returns ``(final_state, (max_movers, max_misplaced))``: the per-step
+    maxima of supercell crossers and of capacity-overflow particles that
+    were temporarily force-masked (0 for a well-capacitied run).
+    """
+    from ..ops.celllist_dense import (
+        build_dense, rebind, dense_forces_fresh, scatter_back,
+        default_mover_capacity)
+    from ..ops import forces as FF
+
+    if nsc is None:
+        nsc = cfg.cell_grid
+    if cap is None:
+        cap = cfg.cell_capacity
+    assert nsc is not None and cap is not None, \
+        "simulate_dense needs cfg.cell_grid / cfg.cell_capacity"
+    if mcap is None:
+        mcap = default_mover_capacity(state.n)
+
+    ds0 = build_dense(state, cfg, nsc, cap)
+    s_total = ds0.pid.shape[0]
+    dummy_species = jnp.zeros((s_total,), state.species.dtype)
+    dummy_masses = jnp.zeros((s_total,), state.masses.dtype)
+
+    def body(carry, _):
+        ds, mx_mov, mx_mis = carry
+
+        def accel_fn(positions, st, c):
+            f = dense_forces_fresh(positions, ds, c, nsc, cap)
+            valid = (ds.r2 > 0.0).astype(f.dtype)[:, None]
+            return f * (FF.kick_scale(c) * valid)
+
+        ps = ParticleState(positions=ds.pos, velocities=ds.vel,
+                           species=dummy_species, masses=dummy_masses,
+                           accel=ds.acc)
+        ps = step(ps, cfg, dt, accel_fn=accel_fn)
+        ds = ds.replace(data=jnp.concatenate(
+            [ps.positions, ps.velocities, ps.accel, ds.data[:, 9:]], axis=1))
+        ds, n_mov, n_mis = rebind(ds, cfg, nsc, cap, mcap)
+        return (ds, jnp.maximum(mx_mov, n_mov), jnp.maximum(mx_mis, n_mis)), None
+
+    (ds, mx_mov, mx_mis), _ = jax.lax.scan(
+        body, (ds0, jnp.int32(0), jnp.int32(0)), None, length=num_steps)
+    return scatter_back(ds, state), (mx_mov, mx_mis)
+
+
 @functools.partial(jax.jit, static_argnames=("num_steps", "rebuild_every",
                                              "nsc", "cap"))
 def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,

@@ -1,0 +1,142 @@
+"""Incremental dense cell layout (ops/celllist_dense.py, simulate_dense):
+must be exactly equivalent to the per-step full-rebuild cell-list path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from particle3d_tpu import reference_config, init_scene, simulate
+from particle3d_tpu.engine.step import simulate_dense, warmup
+from particle3d_tpu.ops.celllist_dense import (
+    build_dense, rebind, scatter_back, bin_sid, default_mover_capacity)
+
+
+def _cfg(**kw):
+    base = dict(neighbor="celllist_pallas", cell_grid=8, cell_capacity=32)
+    base.update(kw)
+    return reference_config(world_size=16.0).replace(**base)
+
+
+def test_matches_per_step_rebuild_bitwise():
+    cfg = _cfg()
+    st = init_scene(jax.random.PRNGKey(0), 512, cfg)
+    dt = jnp.float32(1 / 30)
+    ref = simulate(st, cfg, dt, 12)  # full rebuild every step (exact)
+    out, (mx_mov, mx_mis) = simulate_dense(st, cfg, dt, 12)
+    assert int(mx_mis) == 0
+    assert int(mx_mov) > 0  # the scene does produce supercell crossers
+    np.testing.assert_array_equal(np.asarray(out.positions),
+                                  np.asarray(ref.positions))
+    np.testing.assert_array_equal(np.asarray(out.velocities),
+                                  np.asarray(ref.velocities))
+
+
+def test_matches_dense_allpairs():
+    cfg = _cfg()
+    st = init_scene(jax.random.PRNGKey(1), 300, cfg)
+    dt = jnp.float32(1 / 30)
+    out, _ = simulate_dense(st, cfg, dt, 10)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 10)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_velocity_verlet_path():
+    cfg = _cfg(integrator="velocity_verlet")
+    st = warmup(init_scene(jax.random.PRNGKey(2), 256, cfg), cfg)
+    dt = jnp.float32(1 / 60)
+    out, _ = simulate_dense(st, cfg, dt, 8)
+    ref = simulate(st, cfg, dt, 8)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_walls_boundary():
+    cfg = _cfg(boundary="clamp", wrap_forces=False)
+    st = init_scene(jax.random.PRNGKey(3), 256, cfg)
+    dt = jnp.float32(1 / 30)
+    out, _ = simulate_dense(st, cfg, dt, 10)
+    ref = simulate(st, cfg, dt, 10)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tiny_mover_capacity_degrades_gracefully():
+    """Movers beyond mcap are force-masked (ballistic), never wrong/NaN."""
+    cfg = _cfg()
+    st = init_scene(jax.random.PRNGKey(4), 512, cfg)
+    dt = jnp.float32(1 / 10)  # big steps -> many movers
+    out, (mx_mov, mx_mis) = simulate_dense(st, cfg, dt, 8, mcap=128)
+    assert bool(np.isfinite(np.asarray(out.positions)).all())
+    # and with ample capacity the same run reports no masking
+    out2, (_, mis2) = simulate_dense(st, cfg, dt, 8)
+    assert int(mis2) == 0
+
+
+def test_capacity_overflow_masks_not_corrupts():
+    """cap=1 forces cell overflow: run stays finite, misplaced reported."""
+    cfg = _cfg(cell_capacity=2)
+    st = init_scene(jax.random.PRNGKey(5), 1500, cfg)  # ~3 per cell >> cap
+    dt = jnp.float32(1 / 30)
+    out, (_, mx_mis) = simulate_dense(st, cfg, dt, 6)
+    assert bool(np.isfinite(np.asarray(out.positions)).all())
+    assert int(mx_mis) > 0
+
+
+def test_rebind_preserves_particles_and_alignment():
+    cfg = _cfg()
+    st = init_scene(jax.random.PRNGKey(6), 256, cfg)
+    ds = build_dense(st, cfg, 8, 32)
+    # kick every particle by a random offset so many cross cells
+    key = jax.random.PRNGKey(7)
+    ds = ds.replace(data=ds.data.at[:, 0:3].add(
+        jax.random.uniform(key, ds.data[:, 0:3].shape, minval=-1.5, maxval=1.5)
+        * (ds.pid >= 0)[:, None]))
+    # wrap back into the box like the boundary handler would
+    w = 16.0
+    pos = ds.data[:, 0:3]
+    pos = pos - w * jnp.floor(pos / w + 0.5)
+    ds = ds.replace(data=ds.data.at[:, 0:3].set(pos))
+    ds2, n_mov, n_mis = rebind(ds, cfg, 8, 32,
+                               default_mover_capacity(256))
+    # every particle id survives exactly once
+    pids = np.asarray(ds2.pid)
+    live = np.sort(pids[pids >= 0])
+    np.testing.assert_array_equal(live, np.arange(256))
+    # every live slot with r2 > 0 is aligned with its occupant's cell
+    aligned = np.asarray(bin_sid(ds2.data[:, 0:3], cfg, 8)) == (
+        np.arange(pids.shape[0]) // 32)
+    assert (np.asarray(ds2.r2)[~aligned] < 0).all()
+    assert int(n_mis) == int(((pids >= 0) & ~aligned).sum())
+
+
+def test_scatter_back_keeps_unplaced_particles():
+    cfg = _cfg(cell_capacity=1)  # heavy initial overflow
+    st = init_scene(jax.random.PRNGKey(8), 300, cfg)
+    ds = build_dense(st, cfg, 8, 1)
+    placed = np.asarray(ds.pid)
+    placed = set(placed[placed >= 0].tolist())
+    out = scatter_back(ds, st)
+    pos0 = np.asarray(st.positions)
+    pos1 = np.asarray(out.positions)
+    for i in range(300):
+        np.testing.assert_allclose(pos1[i], pos0[i], atol=1e-6)
+
+
+def test_app_uses_dense_path_when_budget_zero():
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = reference_config(world_size=8.0).replace(
+        neighbor="celllist_pallas", cell_grid=8, cell_capacity=16,
+        particle_effect_radius=1.0)
+    app = SimulationApp(cfg=cfg, n=128)
+    assert app.drift_budget() <= 0.0
+    app.run_steps(3)
+    m = app.metrics()
+    assert m["step_index"] == 3
+    assert "capacity_masked" in m
