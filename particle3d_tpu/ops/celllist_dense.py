@@ -226,9 +226,14 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     # (movers beyond mcap are simply not extracted this step: the alignment
     # recompute below masks them force-invisible and they retry next step)
 
-    # -- free slots per cell (stayers keep theirs) ---------------------------
-    stay = jnp.logical_and(occupied, ~moved)
-    free = ~stay.reshape(k_cells, cap)
+    # -- free slots per cell --------------------------------------------------
+    # Only CURRENTLY-EMPTY slots count as free. Counting mover slots as free
+    # would let another mover claim the slot of a mover that fails placement
+    # and stays put — overwriting (losing) it. The cost of the conservative
+    # rule is one step of lag: slots vacated this step become placeable next
+    # step, so under capacity pressure a few more particles ride out a step
+    # force-masked (still counted in n_misplaced, never lost).
+    free = ~occupied.reshape(k_cells, cap)
     free_count = jnp.sum(free.astype(jnp.int32), axis=1)
     # free-first stable order: column index of the r-th free slot per row
     free_order = jnp.argsort(~free, axis=1, stable=True).astype(jnp.int32)

@@ -126,10 +126,15 @@ def _pick_zr(nsc: int, cap: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("law", "wrap", "nsc", "cap", "interpret"),
+    static_argnames=("law", "wrap", "nsc", "cap", "interpret", "halo"),
 )
 def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
-          interpret):
+          interpret, halo: bool = False):
+    """halo=True: receiver columns are a contiguous x-slab and the SOURCE
+    arrays carry one extra x-plane of halo columns at each end (domain
+    decomposition, parallel/domain_sharded.py) — the x neighbor index is
+    then a plain local offset (+nsc per plane) instead of a periodic wrap,
+    while y stays periodic within each plane."""
     ncol = pos_d.shape[0]
     cs = nsc * cap
     g = (nsc + 2) * cap
@@ -141,6 +146,10 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
 
     def nbr_map(dx, dy):
         def im(c):
+            if halo:
+                plane = c // nsc + 1  # +1: source arrays lead with a halo plane
+                cy = c % nsc
+                return ((plane + dx) * nsc + (cy + dy) % nsc, 0, 0)
             cx = c // nsc
             cy = c % nsc
             if wrap:

@@ -88,6 +88,29 @@ def test_capacity_overflow_masks_not_corrupts():
     assert int(mx_mis) > 0
 
 
+def test_no_particle_loss_under_capacity_pressure():
+    """Regression: a mover that fails placement stays in its slot; that slot
+    must never be handed to another mover (free slots = currently-empty
+    only). Permanently-overloaded cells (cap=2, ~3 particles/cell) with big
+    kicks exercised the loss."""
+    cfg = _cfg(cell_capacity=2)
+    st = init_scene(jax.random.PRNGKey(5), 1500, cfg)
+    ds = build_dense(st, cfg, 8, 2)
+    n0 = int((np.asarray(ds.pid) >= 0).sum())
+    key = jax.random.PRNGKey(0)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        kick = jax.random.uniform(k, ds.data[:, 0:3].shape,
+                                  minval=-0.8, maxval=0.8)
+        pos = ds.data[:, 0:3] + kick * (ds.pid >= 0)[:, None]
+        pos = pos - 16.0 * jnp.floor(pos / 16.0 + 0.5)
+        ds = ds.replace(data=ds.data.at[:, 0:3].set(pos))
+        ds, _, _ = rebind(ds, cfg, 8, 2, default_mover_capacity(1500))
+        pids = np.asarray(ds.pid)
+        assert int((pids >= 0).sum()) == n0
+        assert len(np.unique(pids[pids >= 0])) == n0
+
+
 def test_rebind_preserves_particles_and_alignment():
     cfg = _cfg()
     st = init_scene(jax.random.PRNGKey(6), 256, cfg)
