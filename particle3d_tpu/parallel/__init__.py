@@ -6,8 +6,10 @@ from .ring import (
     shard_state,
 )
 from .domain import sharded_cell_simulate, sharded_dense_forces
+from .domain_sharded import sharded_dense_simulate
 
 __all__ = [
+    "sharded_dense_simulate",
     "make_mesh",
     "make_mesh_2d",
     "particle_sharding",

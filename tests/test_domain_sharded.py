@@ -1,0 +1,78 @@
+"""State-sharded slab domain decomposition (parallel/domain_sharded.py):
+sharded trajectory must match the single-device incremental dense path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from particle3d_tpu import reference_config, init_scene
+from particle3d_tpu.engine.step import simulate_dense
+from particle3d_tpu.parallel import make_mesh
+from particle3d_tpu.parallel.domain_sharded import sharded_dense_simulate
+
+
+def _scene(n=512, seed=0, **repl):
+    kw = dict(neighbor="celllist_pallas", cell_grid=8, cell_capacity=32)
+    kw.update(repl)
+    cfg = reference_config(world_size=16.0).replace(**kw)
+    st = init_scene(jax.random.PRNGKey(seed), n, cfg)
+    return st, cfg
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_matches_single_device_dense(ndev):
+    st, cfg = _scene()
+    mesh = make_mesh(ndev)
+    dt = jnp.float32(1 / 30)
+    ref, _ = simulate_dense(st, cfg, dt, 10)
+    out, (mx_mov, mx_mask, mx_limbo, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 10, mesh)
+    assert int(lost) == 0
+    assert int(mx_limbo) == 0
+    if ndev == 8:  # planes_local=1: every x-plane crossing changes device
+        assert int(shipped) > 0  # migration across slabs actually happened
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.velocities),
+                               np.asarray(ref.velocities),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_matches_dense_allpairs_ground_truth():
+    st, cfg = _scene(n=300, seed=3)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    out, _ = sharded_dense_simulate(st, cfg, dt, 8, mesh)
+    from particle3d_tpu import simulate
+
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 8)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_particle_conservation_under_overflow():
+    """Tight capacity: no particle may vanish — overflow goes to limbo."""
+    st, cfg = _scene(n=1200, seed=5, cell_capacity=4)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 15)  # fast steps -> heavy migration
+    out, (mx_mov, mx_mask, mx_limbo, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 10, mesh)
+    assert int(lost) == 0
+    assert bool(np.isfinite(np.asarray(out.positions)).all())
+    # positions remain inside the box (wrap boundary applied in-slab)
+    assert float(np.abs(np.asarray(out.positions)).max()) <= 8.0 + 1e-5
+
+
+def test_rejects_nonperiodic_and_indivisible():
+    st, cfg = _scene()
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match="periodic"):
+        sharded_dense_simulate(
+            st, cfg.replace(wrap_forces=False), jnp.float32(0.01), 2, mesh)
+    with pytest.raises(ValueError, match="divide"):
+        sharded_dense_simulate(
+            st, cfg.replace(cell_grid=6), jnp.float32(0.01), 2, mesh)
