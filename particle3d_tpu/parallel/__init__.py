@@ -7,9 +7,18 @@ from .ring import (
 )
 from .domain import sharded_cell_simulate, sharded_dense_forces
 from .domain_sharded import sharded_dense_simulate
+from .launch import (
+    initialize_distributed, mesh_shape_2level, auto_mesh_2d,
+    shard_state_2level, sharded_simulate_2level, cluster_env_configured,
+)
 
 __all__ = [
     "sharded_dense_simulate",
+    "initialize_distributed",
+    "mesh_shape_2level",
+    "auto_mesh_2d",
+    "shard_state_2level",
+    "sharded_simulate_2level",
     "make_mesh",
     "make_mesh_2d",
     "particle_sharding",
