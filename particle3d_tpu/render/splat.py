@@ -88,20 +88,102 @@ def _box_edge_points(world_size, samples: int):
     return jnp.concatenate(pts, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Fast path: point-scatter + radius dilation
+# ---------------------------------------------------------------------------
+#
+# The exact renderer scatters footprint^2 (=49) pixels per splat — 12.8M
+# scatter-min updates at N=262k (~157 ms, scatter-bound). The fast path is
+# scatter-light and TPU-shaped instead:
+#
+#   1. each splat scatters ONE packed key to its <=4 nearest pixels:
+#      [depth:15 | radius*16:9 | color:8] bits — still a scatter-min z-test,
+#      but O(N) updates;
+#   2. a pure-elementwise dilation reconstructs the circular splats: for
+#      every output pixel, min over the <=49 statically-shifted seed images
+#      of keys whose embedded radius reaches this pixel. XLA fuses the whole
+#      sweep; no gathers, no sorts.
+#
+# Documented tolerance vs the exact renderer: splat coverage is evaluated
+# from the SEED pixel's center (<=0.5 px center error, radius quantized to
+# 1/16 px), and when several splat centers land on the same seed pixel only
+# the nearest survives as that seed (its 2x2 seeding usually reseeds the
+# loser next door). Depth keys carry 15 bits instead of 24.
+
+_DEPTH_SHIFT = 16
+_R_SHIFT = 8
+_R_SCALE = 16.0
+
+
+def _pack_fast_keys(depth01, r_px, color_id):
+    d = jnp.clip(jnp.round(depth01 * 32000.0), 0, 32000).astype(jnp.int32)
+    q = jnp.clip(jnp.round(r_px * _R_SCALE), 0, 255).astype(jnp.int32)
+    return (d << _DEPTH_SHIFT) | (q << _R_SHIFT) | color_id.astype(jnp.int32)
+
+
+def _seed_points(buf, xy, depth01, r_px, color_id, alive, width, height):
+    """Scatter each splat's packed key to its 2x2 nearest pixels."""
+    px = xy[:, 0] * width
+    py = xy[:, 1] * height
+    keys = _pack_fast_keys(depth01, r_px, color_id)
+    ix0 = jnp.floor(px - 0.5).astype(jnp.int32)
+    iy0 = jnp.floor(py - 0.5).astype(jnp.int32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            cx = ix0 + dx
+            cy = iy0 + dy
+            ok = alive & (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+            lin = jnp.where(ok, cy * width + cx, width * height)
+            buf = buf.at[lin].min(keys, mode="drop")
+    return buf
+
+
+def _dilate(seeds, height, width, footprint):
+    """min over shifted seed images of keys whose radius covers the pixel."""
+    half = footprint // 2
+    inf = jnp.int32(0x7FFFFFFF)
+    pad = jnp.pad(seeds, ((half, half), (half, half)), constant_values=inf)
+    out = seeds
+    rmask = jnp.int32(0xFF << _R_SHIFT)
+    for oy in range(-half, half + 1):
+        for ox in range(-half, half + 1):
+            if ox == 0 and oy == 0:
+                continue
+            dist = (ox * ox + oy * oy) ** 0.5
+            thr = int(round(dist * _R_SCALE))
+            if thr > 255:
+                continue  # beyond the largest representable radius
+            cand = jax.lax.dynamic_slice(
+                pad, (half + oy, half + ox), (height, width))
+            covered = (cand & rmask) >= (thr << _R_SHIFT)
+            out = jnp.minimum(out, jnp.where(covered, cand, inf))
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "footprint", "draw_border",
-                     "border_samples"),
+                     "border_samples", "method"),
 )
 def render_frame(positions, species, cfg: SimConfig, cam: Camera,
                  width: int = 640, height: int = 480, *,
                  footprint: int = 7, draw_border: bool = True,
-                 border_samples: int = 128):
+                 border_samples: int = 128, method: str = "dilate"):
     """Render one frame entirely on device -> uint8 image [H, W, 3].
 
     positions [N,3], species i32[N]; colors come from cfg.colors
     (the reference's per-species color table, src/bin/main.rs:126-132).
+
+    method: "dilate" (default; O(N) seed scatter + elementwise radius
+    dilation, ~10x faster at large N, sub-pixel-approximate — see the fast
+    path notes above) or "scatter" (exact per-pixel scatter-min coverage).
     """
+    if method == "dilate":
+        return _render_frame_dilate(positions, species, cfg, cam, width,
+                                    height, footprint, draw_border,
+                                    border_samples)
+    if method != "scatter":
+        raise ValueError(f"unknown render method {method!r}")
     vm = view_matrix(cam)
     pm = projection_matrix(cam, width / height)
     # focal length in pixels for world->pixel radius conversion
@@ -127,6 +209,10 @@ def render_frame(positions, species, cfg: SimConfig, cam: Camera,
                  footprint)
 
     img_keys = buf[:-1].reshape(height, width)
+    return _decode(img_keys, cfg)
+
+
+def _decode(img_keys, cfg: SimConfig):
     ids = img_keys & 0xFF
     empty = img_keys == jnp.int32(0x7FFFFFFF)
     ids = jnp.where(empty, BACKGROUND_ID, ids)
@@ -138,3 +224,31 @@ def render_frame(positions, species, cfg: SimConfig, cam: Camera,
     palette = palette.at[BACKGROUND_ID].set(jnp.array([0.02, 0.02, 0.03]))
     img = palette[ids]
     return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def _render_frame_dilate(positions, species, cfg: SimConfig, cam: Camera,
+                         width: int, height: int, footprint: int,
+                         draw_border: bool, border_samples: int):
+    """Fast path body (see the fast-path notes above render_frame)."""
+    vm = view_matrix(cam)
+    pm = projection_matrix(cam, width / height)
+    fov = jnp.deg2rad(jnp.asarray(cam.fov_deg, jnp.float32))
+    focal_px = (height * 0.5) / jnp.tan(fov / 2.0)
+
+    buf = jnp.full((width * height + 1,), jnp.int32(0x7FFFFFFF))
+
+    if draw_border:
+        bp = _box_edge_points(jnp.asarray(cfg.world_size, jnp.float32),
+                              border_samples)
+        xy, d01, front, vz = _project(bp, vm, pm)
+        buf = _seed_points(buf, xy, d01, jnp.full((bp.shape[0],), 1.0),
+                           jnp.full((bp.shape[0],), BORDER_COLOR_ID),
+                           front, width, height)
+
+    xy, d01, front, vz = _project(positions, vm, pm)
+    r_px = (SPRITE_WORLD_SIZE * 0.5) * focal_px / jnp.maximum(vz, 1e-6)
+    r_px = jnp.clip(r_px, 0.75, footprint / 2.0)
+    buf = _seed_points(buf, xy, d01, r_px, species, front, width, height)
+
+    seeds = buf[:-1].reshape(height, width)
+    return _decode(_dilate(seeds, height, width, footprint), cfg)

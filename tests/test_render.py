@@ -103,3 +103,36 @@ def test_render_behind_camera_invisible():
     img = np.asarray(render_frame(st.positions, st.species, cfg, cam, 160, 120,
                                   draw_border=False))
     assert (img.sum(-1) > 30).sum() == 0
+
+
+def test_dilate_matches_scatter_within_tolerance():
+    """Fast path (point-scatter + radius dilation) vs the exact scatter-min
+    renderer: documented tolerance is sub-pixel coverage wobble and rare
+    same-seed-pixel eclipses — the images must agree on the vast majority of
+    pixels and on every structural element (all species present, border)."""
+    from particle3d_tpu import init_scene
+    import jax
+
+    cfg = reference_config()
+    st = init_scene(jax.random.PRNGKey(3), 800, cfg)
+    cam = default_camera(10.0)
+    a = np.asarray(render_frame(st.positions, st.species, cfg, cam, 320, 240,
+                                method="scatter"))
+    b = np.asarray(render_frame(st.positions, st.species, cfg, cam, 320, 240,
+                                method="dilate"))
+    match = (a == b).all(-1).mean()
+    assert match > 0.93, f"pixel match {match:.3f}"
+    # same species palette coverage in both
+    for img in (a, b):
+        lit = img[img.sum(-1) > 30]
+        assert len(lit) > 100
+    # depth ordering preserved on the fast path too
+    pos = np.array([[1.0, 0.0, 2.0], [1.0, 0.0, -2.0]], np.float32)
+    st2 = from_numpy(pos, np.zeros_like(pos), np.array([0, 1], np.int32))
+    img = np.asarray(render_frame(st2.positions, st2.species, cfg, cam,
+                                  200, 200, draw_border=False,
+                                  method="dilate"))
+    patch = img[97:104, 97:104].reshape(-1, 3)
+    lit = patch[patch.sum(-1) > 30]
+    assert len(lit) > 0
+    assert np.all(lit[:, 0] > 200) and np.all(lit[:, 1] < 50)
