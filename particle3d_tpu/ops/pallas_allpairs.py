@@ -344,13 +344,22 @@ def pallas_allpairs_forces(
 # sqrt) twice per unordered pair — once for (i,j), once for (j,i). Forces are
 # NOT symmetric here (the attraction matrix is asymmetric; gravity's
 # acceleration carries m_j), but the expensive geometry IS: this kernel walks
-# unordered tile pairs (i, j=(i+k) mod nt) on a (diagonal, i) grid, computes
-# the geometry once, evaluates the two directional scales (two rank-1 coef
-# matmuls), and accumulates into two outputs — rows into out_a[i], columns
-# into out_b[j] (summed afterwards). Output blocks are revisited
-# NON-consecutively; Pallas fetches block contents on revisit (verified on
-# hardware), and same-block revisits are >= nt grid steps apart so the
-# pipelining window never holds two copies.
+# unordered tile pairs (i, j=(i+k) mod nt) on an (i, diagonal-k) grid,
+# computes the geometry once, evaluates the two directional scales (two
+# rank-1 coef matmuls), and accumulates both directions:
+#
+#   * i-side rows go to out_a[i]: k is the INNER grid axis, so the out_a
+#     block is revisited CONSECUTIVELY — the one revisit pattern with
+#     defined Pallas semantics (classic reduction grid).
+#   * j-side columns go to a write-once partial buffer out_b[k, j]: every
+#     (i, k) step owns block (k, (i+k) mod nt) exclusively, and the k-sum
+#     reduction happens outside the kernel (one cheap XLA reduce).
+#
+# Round-1 lesson (caught by the bench equivalence assert): accumulating
+# out_b[j] in place relies on output-block content surviving NON-consecutive
+# revisits, which Pallas TPU does not define — it happened to compile
+# correctly for small grids and silently mis-accumulated for nt >= ~60 at
+# T=640 (N >= ~40k), deterministically per shape.
 #
 # Diagonal k=0 is evaluated one-sided (a full (i,i) tile already covers every
 # ordered pair inside it); for even nt the k=nt/2 diagonal is computed only
@@ -360,7 +369,7 @@ def pallas_allpairs_forces(
 def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
                 r2row_ref, imask_ref, out_a_ref, out_b_ref,
                 *, law: str, wrap: bool, t: int, nt: int, use_rsqrt: bool):
-    k = pl.program_id(0)
+    k = pl.program_id(1)
     w = pf_ref[0]
 
     # In wrap mode positions arrive PRE-SCALED by 1/w (and r2row by 1/w^2):
@@ -419,27 +428,34 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
          jnp.sum(dy * s_ij, axis=1, keepdims=True),
          jnp.sum(dz * s_ij, axis=1, keepdims=True)], axis=1)  # [T, 3]
 
-    half_pair = jnp.logical_and(2 * k == nt, pl.program_id(1) * 2 >= nt)
+    half_pair = jnp.logical_and(2 * k == nt, pl.program_id(0) * 2 >= nt)
     scale_b = jnp.where(half_pair, 0.0, 1.0)
     if wrap:  # deltas are in scaled units; restore world units (cheap [T,3])
         scale_b = scale_b * w
-    # j-side receives the negated deltas: acc_b = -sum_rows(d * s_ji)
-    acc_b = -jnp.concatenate(
-        [jnp.sum(dx * s_ji, axis=0)[:, None],
-         jnp.sum(dy * s_ji, axis=0)[:, None],
-         jnp.sum(dz * s_ji, axis=0)[:, None]], axis=1) * scale_b  # [T, 3]
+    # j-side receives the negated deltas: acc_b = -sum_rows(d * s_ji);
+    # the k=0 diagonal is covered one-sided by acc_a (zero its j-side).
+    # Built TRANSPOSED [3, T]: the axis-0 row sums already have that shape,
+    # and the [nk, 3, mp] partial layout pads its 3 only to 8 sublanes
+    # (a [nk, mp, 3] layout would pad the minor 3 to 128 lanes — 16x memory).
+    scale_bj = scale_b * jnp.where(k == 0, 0.0, 1.0)
+    acc_bt = -jnp.concatenate(
+        [jnp.sum(dx * s_ji, axis=0, keepdims=True),
+         jnp.sum(dy * s_ji, axis=0, keepdims=True),
+         jnp.sum(dz * s_ji, axis=0, keepdims=True)], axis=0) * scale_bj
     # the i-side of a skipped half-diagonal step must also not accumulate
     acc_a = acc_a * scale_b
 
+    # out_a[i]: k is the inner grid axis -> consecutive revisits (defined
+    # accumulation); out_b[k, :, j]: written exactly once per grid step
     @pl.when(k == 0)
     def _():
         out_a_ref[:] = acc_a
-        out_b_ref[:] = jnp.zeros_like(out_b_ref)
 
     @pl.when(k > 0)
     def _():
         out_a_ref[:] = out_a_ref[:] + acc_a
-        out_b_ref[:] = out_b_ref[:] + acc_b
+
+    out_b_ref[0] = acc_bt
 
 
 @functools.partial(
@@ -465,19 +481,17 @@ def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
     imask = jnp.zeros((np_, 1), jnp.float32).at[:n].set(1.0)
     p = u_p.shape[1]
 
-    def by_i(k, i):
+    def by_i(i, k):
         return (i, 0)
 
-    def by_it(k, i):
-        return (0, i)
-
-    def by_j(k, i):
-        return ((i + k) % nt, 0)
-
-    def by_jt(k, i):
+    def by_jt(i, k):
         return (0, (i + k) % nt)
 
-    grid = (nt // 2 + 1, nt)
+    def by_kj(i, k):
+        return (k, 0, (i + k) % nt)
+
+    nk = nt // 2 + 1
+    grid = (nt, nk)  # k inner: out_a revisits are consecutive (defined)
     out_a, out_b = pl.pallas_call(
         functools.partial(_tri_kernel, law=law, wrap=wrap, t=t, nt=nt,
                           use_rsqrt=not interpret),
@@ -495,18 +509,18 @@ def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
         ],
         out_specs=(
             pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 3), by_j, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, t), by_kj, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((np_, 3), jnp.float32),
-            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((nk, 3, np_), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(params_f, pos_p, pos_t, u_p, v_p, ut, vt, r2row, imask)
-    return (out_a + out_b)[:n]
+    return (out_a + jnp.sum(out_b, axis=0).T)[:n]
 
 
 def pallas_allpairs_forces_tri(positions, u, v, cfg: SimConfig, *,

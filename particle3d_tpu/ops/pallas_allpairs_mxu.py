@@ -69,7 +69,7 @@ _OFFSETS26 = np.array(
 def _mxu_kernel(pf_ref, p4_i_ref, p4_j_ref, p4_jt_ref, u_ref, v_ref, ut_ref,
                 vt_ref, r2row_ref, imask_ref, out_a_ref, out_b_ref,
                 *, law: str, fast: bool, t: int, nt: int, use_rsqrt: bool):
-    k = pl.program_id(0)
+    k = pl.program_id(1)
 
     p4_i = p4_i_ref[:]   # [T, 4] = (x, y, z, 1)
     p4_j = p4_j_ref[:]   # [T, 4]
@@ -131,7 +131,7 @@ def _mxu_kernel(pf_ref, p4_i_ref, p4_j_ref, p4_jt_ref, u_ref, v_ref, ut_ref,
     # as i-side sources the padded COLUMNS are killed by r2row = -1
     s_ji = s_ji * imask_ref[:, 0:1]
 
-    half_pair = jnp.logical_and(2 * k == nt, pl.program_id(1) * 2 >= nt)
+    half_pair = jnp.logical_and(2 * k == nt, pl.program_id(0) * 2 >= nt)
     scale_b = jnp.where(half_pair, 0.0, 1.0)
 
     # F_i = sum_j s_ij (p_j - p_i): one [T,T]x[T,4] matmul + a rank-1 fixup.
@@ -140,22 +140,30 @@ def _mxu_kernel(pf_ref, p4_i_ref, p4_j_ref, p4_jt_ref, u_ref, v_ref, ut_ref,
     acc_a4 = jnp.dot(s_ij, p4_j, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # [T,4]
     acc_a = (acc_a4[:, 0:3] - p4_i[:, 0:3] * acc_a4[:, 3:4]) * scale_b
-    # F_j = sum_i s_ji (p_i - p_j): contract the i (row) axis
-    acc_b4 = jax.lax.dot_general(
-        s_ji, p4_i, (((0,), (0,)), ((), ())),
+    # F_j = sum_i s_ji (p_i - p_j): contract the i (row) axis. Produced
+    # TRANSPOSED [4, T] (operands swapped) so the write-once partial can use
+    # the sublane-padded [nk, 3, mp] layout (see pallas_allpairs._tri_kernel).
+    acc_b4t = jax.lax.dot_general(
+        p4_i, s_ji, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [T, 4]
-    acc_b = (acc_b4[:, 0:3] - p4_j[:, 0:3] * acc_b4[:, 3:4]) * scale_b
+        precision=jax.lax.Precision.HIGHEST)  # [4, T]
+    # k=0 diagonal is covered one-sided by acc_a
+    scale_bj = scale_b * jnp.where(k == 0, 0.0, 1.0)
+    acc_bt = (acc_b4t[0:3, :]
+              - p4_jt_ref[0:3, :] * acc_b4t[3:4, :]) * scale_bj
 
+    # out_a[i]: k inner -> consecutive revisits (defined accumulation);
+    # out_b[k, j]: written once per grid step, k-reduced outside (see the
+    # non-consecutive-revisit lesson in pallas_allpairs.py)
     @pl.when(k == 0)
     def _():
         out_a_ref[:] = acc_a
-        out_b_ref[:] = jnp.zeros_like(out_b_ref)
 
     @pl.when(k > 0)
     def _():
         out_a_ref[:] = out_a_ref[:] + acc_a
-        out_b_ref[:] = out_b_ref[:] + acc_b
+
+    out_b_ref[0] = acc_bt
 
 
 @functools.partial(
@@ -177,16 +185,20 @@ def _mxu_call(p4, u, v, imask, r2row_vals, params_f, law, fast, t, interpret):
         imask.astype(jnp.float32))
     p = u_p.shape[1]
 
-    def by_i(k, i):
+    def by_i(i, k):
         return (i, 0)
 
-    def by_j(k, i):
+    def by_j(i, k):
         return ((i + k) % nt, 0)
 
-    def by_jt(k, i):
+    def by_jt(i, k):
         return (0, (i + k) % nt)
 
-    grid = (nt // 2 + 1, nt)
+    def by_kj(i, k):
+        return (k, 0, (i + k) % nt)
+
+    nk = nt // 2 + 1
+    grid = (nt, nk)  # k inner: out_a revisits are consecutive (defined)
     out_a, out_b = pl.pallas_call(
         functools.partial(_mxu_kernel, law=law, fast=fast, t=t, nt=nt,
                           use_rsqrt=not interpret),
@@ -205,18 +217,18 @@ def _mxu_call(p4, u, v, imask, r2row_vals, params_f, law, fast, t, interpret):
         ],
         out_specs=(
             pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 3), by_j, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, t), by_kj, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((mp, 3), jnp.float32),
-            jax.ShapeDtypeStruct((mp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((nk, 3, mp), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(params_f, p4_p, p4_p, p4_t, u_p, v_p, ut, vt, r2row, imask_col)
-    return (out_a + out_b)[:m]
+    return (out_a + jnp.sum(out_b, axis=0).T)[:m]
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,13 @@ def test_cli_run_and_resume(tmp_path):
 
 def test_headless_gif_export(tmp_path):
     state, cfg, dt = make_scene("reference", n=96)
+    # give the scene visible motion: the default renderer quantizes splat
+    # centers to pixels, and PIL merges consecutive identical GIF frames
+    import jax
+
+    state = state.replace(velocities=jax.random.uniform(
+        jax.random.PRNGKey(9), state.velocities.shape, minval=-3.0,
+        maxval=3.0))
     final, frames = render_trajectory(state, cfg, dt, 12, snapshot_every=4,
                                       width=120, height=90)
     assert frames.shape == (3, 90, 120, 3)
