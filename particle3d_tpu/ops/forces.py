@@ -48,8 +48,15 @@ def pair_features(state, cfg: SimConfig, pad_p: int | None = None):
         u = onehot @ a  # U[i] = A[species_i, :]
         v = onehot
     elif cfg.force_law == "gravity":
-        u = jnp.ones((n, 1), dtype)
-        v = state.masses[:, None].astype(dtype)
+        # Split the mass into a bf16-exact high part + residual so the
+        # kernels' default-precision (bf16-operand) MXU coefficient matmuls
+        # stay ~1e-6-accurate: coef = 1*m_hi + 1*m_lo. One bf16 rounding of
+        # the residual costs 2^-18 relative instead of 2^-9 (measured 2e-4
+        # force error on v5e with a single-column mass feature).
+        m = state.masses.astype(dtype)
+        m_hi = m.astype(jnp.bfloat16).astype(dtype)
+        u = jnp.ones((n, 2), dtype)
+        v = jnp.stack([m_hi, m - m_hi], axis=1)
     else:  # lennard_jones, spring: pair coefficient is uniform
         u = jnp.ones((n, 1), dtype)
         v = jnp.ones((n, 1), dtype)

@@ -54,9 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
 from .pallas_allpairs import (
-    PAIR_P, _scale, _inv_sqrt, pack_params, _r2_gate, _use_interpret,
-    _pad_rows, _round_to, _PF_INV_M, _PF_T2, _PF_TC, _PF_M, _PF_G_S2,
-    _PF_G,
+    PAIR_P, _scale, _inv_sqrt, pack_params, _r2_gate,
+    _use_interpret, _pad_rows, _round_to, _PF_INV_M, _PF_T2, _PF_TC, _PF_M,
+    _PF_G_S2, _PF_G,
 )
 
 # the 26 non-zero image offsets in {-1,0,1}^3
