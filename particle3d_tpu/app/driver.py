@@ -57,6 +57,14 @@ class SimulationApp:
         self.max_drift = 0.0
         self.capacity_masked = 0
         self._per_step_rebuild = False
+        # persisted dense cell layout (exact path): built once, repaired
+        # incrementally across tick batches; invalidated by any control that
+        # changes particles, features or cell geometry
+        self._dense = None
+        self._dense_geom = None
+
+    def _invalidate_dense(self) -> None:
+        self._dense = None
 
     # ------------------------------------------------------------------ #
     # frame loop (C14)
@@ -122,11 +130,18 @@ class SimulationApp:
         if self.cfg.neighbor == "celllist_pallas":
             budget = self.drift_budget()
             if budget <= 0.0 or self._per_step_rebuild or n_steps == 1:
-                from ..engine.step import simulate_dense
+                from ..engine.step import simulate_dense_carry
+                from ..ops.celllist_dense import (
+                    build_dense, scatter_back, default_mover_capacity)
 
                 nsc, cap = self._cell_geometry()
-                self.state, (mov, mis) = simulate_dense(
-                    self.state, self.cfg, dt, n_steps, nsc=nsc, cap=cap)
+                if self._dense is None or self._dense_geom != (nsc, cap):
+                    self._dense = build_dense(self.state, self.cfg, nsc, cap)
+                    self._dense_geom = (nsc, cap)
+                self._dense, (mov, mis) = simulate_dense_carry(
+                    self._dense, self.cfg, dt, n_steps, nsc, cap,
+                    default_mover_capacity(self.state.n))
+                self.state = scatter_back(self._dense, self.state)
                 self.capacity_masked = max(self.capacity_masked, int(mis))
             else:
                 from ..engine.step import simulate_cadenced
@@ -153,46 +168,56 @@ class SimulationApp:
             return
         self._key, k = jax.random.split(self._key)
         self.state = resize(self.state, k, n, self.cfg)
+        self._invalidate_dense()
 
     def set_world_size(self, w: float) -> None:
         """Clamped to >= 2*radius, like the UI (main.rs:287-291)."""
         r = float(np.asarray(self.cfg.particle_effect_radius))
         self.cfg = self.cfg.replace(world_size=max(float(w), 2.0 * r))
+        self._invalidate_dense()
 
     def set_update_rate(self, tps: float) -> None:
         self.update_rate = float(np.clip(tps, 1.0, 1000.0))  # main.rs:296
 
     def set_walls(self, walls: bool) -> None:
         self.cfg = self.cfg.replace(boundary="clamp" if walls else "wrap")
+        self._invalidate_dense()
 
     def set_effect_radius(self, r: float) -> None:
         w = float(np.asarray(self.cfg.world_size))
         self.cfg = self.cfg.replace(
             particle_effect_radius=float(np.clip(r, 1e-3, w / 2.0)))
+        self._invalidate_dense()
 
     def set_interaction_force(self, f: float) -> None:
         self.cfg = self.cfg.replace(interaction_force=float(np.clip(f, 0.0, 10.0)))
+        self._invalidate_dense()
 
     def set_drag(self, c: float) -> None:
         self.cfg = self.cfg.replace(coefficient=float(np.clip(c, 0.0, 1.0)))
+        self._invalidate_dense()
 
     def set_min_pull_ratio(self, m: float) -> None:
         self.cfg = self.cfg.replace(min_pull_ratio=float(np.clip(m, 1e-4, 1.0)))
+        self._invalidate_dense()
 
     def set_gravity(self, x: float, y: float, z: float) -> None:
         self.cfg = self.cfg.replace(
             acceleration=np.array([x, y, z], np.float32))
+        self._invalidate_dense()
 
     def set_color(self, species: int, rgb) -> None:
         colors = np.asarray(self.cfg.colors).copy()
         colors[species] = np.asarray(rgb, np.float32)
         self.cfg = self.cfg.replace(colors=colors)
+        self._invalidate_dense()
 
     def set_attraction(self, i: int, j: int, value: float) -> None:
         """UI clamps edits to [-1, 1] (main.rs:398, quirk Q5)."""
         m = np.asarray(self.cfg.attraction_matrix).copy()
         m[i, j] = float(np.clip(value, -1.0, 1.0))
         self.cfg = self.cfg.replace(attraction_matrix=m)
+        self._invalidate_dense()
 
     def set_attraction_matrix(self, m) -> None:
         m = np.asarray(m, np.float32)
@@ -200,6 +225,7 @@ class SimulationApp:
             raise ConfigError(f"attraction matrix must be "
                               f"{(self.cfg.id_count,) * 2}, got {m.shape}")
         self.cfg = self.cfg.replace(attraction_matrix=m)
+        self._invalidate_dense()
 
     # ------------------------------------------------------------------ #
     # camera (C13)

@@ -190,10 +190,8 @@ def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     maxima of supercell crossers and of capacity-overflow particles that
     were temporarily force-masked (0 for a well-capacitied run).
     """
-    from ..ops.celllist_dense import (
-        build_dense, rebind, dense_forces_fresh, scatter_back,
-        default_mover_capacity)
-    from ..ops import forces as FF
+    from ..ops.celllist_dense import build_dense, scatter_back, \
+        default_mover_capacity
 
     if nsc is None:
         nsc = cfg.cell_grid
@@ -205,9 +203,20 @@ def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
         mcap = default_mover_capacity(state.n)
 
     ds0 = build_dense(state, cfg, nsc, cap)
+    ds, diag = _dense_scan(ds0, cfg, dt, num_steps, nsc, cap, mcap,
+                           state.species.dtype, state.masses.dtype)
+    return scatter_back(ds, state), diag
+
+
+def _dense_scan(ds0, cfg: SimConfig, dt, num_steps: int, nsc: int, cap: int,
+                mcap: int, species_dtype=jnp.int32, masses_dtype=jnp.float32):
+    """num_steps of step+incremental-rebind on an existing dense layout."""
+    from ..ops.celllist_dense import rebind, dense_forces_fresh
+    from ..ops import forces as FF
+
     s_total = ds0.pid.shape[0]
-    dummy_species = jnp.zeros((s_total,), state.species.dtype)
-    dummy_masses = jnp.zeros((s_total,), state.masses.dtype)
+    dummy_species = jnp.zeros((s_total,), species_dtype)
+    dummy_masses = jnp.zeros((s_total,), masses_dtype)
 
     def body(carry, _):
         ds, mx_mov, mx_mis = carry
@@ -228,7 +237,17 @@ def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
 
     (ds, mx_mov, mx_mis), _ = jax.lax.scan(
         body, (ds0, jnp.int32(0), jnp.int32(0)), None, length=num_steps)
-    return scatter_back(ds, state), (mx_mov, mx_mis)
+    return ds, (mx_mov, mx_mis)
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "nsc", "cap", "mcap"))
+def simulate_dense_carry(ds, cfg: SimConfig, dt, num_steps: int, nsc: int,
+                         cap: int, mcap: int):
+    """``simulate_dense`` continuation on an ALREADY-BUILT dense layout
+    (``ops.celllist_dense.build_dense``) — the interactive driver persists
+    the layout across tick batches so only the first batch pays the full
+    sort build. Returns (new layout, (max_movers, max_masked))."""
+    return _dense_scan(ds, cfg, dt, num_steps, nsc, cap, mcap)
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps", "rebuild_every",

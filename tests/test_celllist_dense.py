@@ -163,3 +163,28 @@ def test_app_uses_dense_path_when_budget_zero():
     m = app.metrics()
     assert m["step_index"] == 3
     assert "capacity_masked" in m
+
+
+def test_app_persists_dense_layout_across_ticks():
+    """Two run_steps batches on the persisted layout == one simulate_dense
+    of the total length (bit-equal: the layout is exactly fresh each step)."""
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = reference_config(world_size=8.0).replace(
+        neighbor="celllist_pallas", cell_grid=8, cell_capacity=16,
+        particle_effect_radius=1.0)
+    st = init_scene(jax.random.PRNGKey(11), 256, cfg)
+    app = SimulationApp(state=st, cfg=cfg)
+    app.run_steps(3)
+    assert app._dense is not None
+    first = app._dense
+    app.run_steps(2)
+    assert app._dense is not first  # advanced, not rebuilt from scratch
+    ref, _ = simulate_dense(st, cfg, jnp.float32(1 / 60), 5)
+    np.testing.assert_array_equal(np.asarray(app.state.positions),
+                                  np.asarray(ref.positions))
+    # feature-changing controls invalidate the cached layout
+    app.set_attraction(0, 1, -0.5)
+    assert app._dense is None
+    app.run_steps(1)  # rebuilds and keeps working
+    assert app._dense is not None
