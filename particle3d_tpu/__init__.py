@@ -20,9 +20,12 @@ from .config import (
     DEFAULT_COLORS,
 )
 from .state import ParticleState, init_scene, from_numpy, resize
-from .engine.step import step, simulate, trajectory, warmup, pair_accel
+from .engine.step import (
+    step, simulate, trajectory, warmup, pair_accel, simulate_dense,
+    simulate_dense_carry, simulate_cadenced,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SimConfig",
@@ -37,6 +40,9 @@ __all__ = [
     "trajectory",
     "warmup",
     "pair_accel",
+    "simulate_dense",
+    "simulate_dense_carry",
+    "simulate_cadenced",
     "FORCE_LAWS",
     "INTEGRATORS",
     "BOUNDARIES",
