@@ -19,6 +19,20 @@ import sys
 import time
 
 
+def _simulate_best(state, cfg, dt, steps):
+    """simulate(), routed through the fast exact dense-layout path for the
+    cell-list backend (identical results, ~2.5x faster at 262k)."""
+    if (cfg.neighbor == "celllist_pallas" and cfg.cell_grid is not None
+            and cfg.cell_capacity is not None):
+        from .engine.step import simulate_dense
+
+        out, _ = simulate_dense(state, cfg, dt, steps)
+        return out
+    from .engine.step import simulate
+
+    return simulate(state, cfg, dt, steps)
+
+
 def _cmd_run(a):
     import os
 
@@ -52,13 +66,13 @@ def _cmd_run(a):
         done = start_step
         while done < a.steps:
             chunk = min(a.checkpoint_every, a.steps - done)
-            state = simulate(state, cfg, dt, chunk)
+            state = _simulate_best(state, cfg, dt, chunk)
             jax.block_until_ready(state.positions)
             done += chunk
             save_checkpoint(a.checkpoint, state, cfg, done)
     else:
         state = warmup(state, cfg)
-        state = simulate(state, cfg, dt, a.steps)
+        state = _simulate_best(state, cfg, dt, a.steps)
         jax.block_until_ready(state.positions)
     el = time.perf_counter() - t0
     m = measure_metrics(state).as_dict()
@@ -79,7 +93,7 @@ def _cmd_resume(a):
 
     state, cfg, step0, _ = load_checkpoint(a.checkpoint)
     state = warmup(state, cfg)
-    state = simulate(state, cfg, a.dt, a.steps)
+    state = _simulate_best(state, cfg, a.dt, a.steps)
     jax.block_until_ready(state.positions)
     print(json.dumps({"resumed_from": step0, "now": step0 + a.steps,
                       **measure_metrics(state).as_dict()}))
