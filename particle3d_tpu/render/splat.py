@@ -115,17 +115,26 @@ _R_SHIFT = 8
 _R_SCALE = 16.0
 
 
-def _pack_fast_keys(depth01, r_px, color_id):
-    d = jnp.clip(jnp.round(depth01 * 32000.0), 0, 32000).astype(jnp.int32)
+def _pack_fast_keys(view_z, r_px, color_id):
+    """[depth:15 | radius:8 | color:8] with depth = the top 15 bits of the
+    POSITIVE view-space distance's float32 representation: monotonic in z
+    (positive-float bit ordering) with ~2^-7 RELATIVE resolution at every
+    scale. (A linear quantization of the NDC depth is useless here: with
+    near=0.001 the projective depth saturates within ~1e-4 of 1.0 for the
+    whole scene and every splat ties — the tie-break then paints everything
+    in the lowest color id.)"""
+    bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(view_z, 1e-6).astype(jnp.float32), jnp.int32)
+    d = bits >> 16  # sign 0 for positive z: 15 bits, order-preserving
     q = jnp.clip(jnp.round(r_px * _R_SCALE), 0, 255).astype(jnp.int32)
     return (d << _DEPTH_SHIFT) | (q << _R_SHIFT) | color_id.astype(jnp.int32)
 
 
-def _seed_points(buf, xy, depth01, r_px, color_id, alive, width, height):
+def _seed_points(buf, xy, view_z, r_px, color_id, alive, width, height):
     """Scatter each splat's packed key to its 2x2 nearest pixels."""
     px = xy[:, 0] * width
     py = xy[:, 1] * height
-    keys = _pack_fast_keys(depth01, r_px, color_id)
+    keys = _pack_fast_keys(view_z, r_px, color_id)
     ix0 = jnp.floor(px - 0.5).astype(jnp.int32)
     iy0 = jnp.floor(py - 0.5).astype(jnp.int32)
     for dx in (0, 1):
@@ -241,14 +250,14 @@ def _render_frame_dilate(positions, species, cfg: SimConfig, cam: Camera,
         bp = _box_edge_points(jnp.asarray(cfg.world_size, jnp.float32),
                               border_samples)
         xy, d01, front, vz = _project(bp, vm, pm)
-        buf = _seed_points(buf, xy, d01, jnp.full((bp.shape[0],), 1.0),
+        buf = _seed_points(buf, xy, vz, jnp.full((bp.shape[0],), 1.0),
                            jnp.full((bp.shape[0],), BORDER_COLOR_ID),
                            front, width, height)
 
     xy, d01, front, vz = _project(positions, vm, pm)
     r_px = (SPRITE_WORLD_SIZE * 0.5) * focal_px / jnp.maximum(vz, 1e-6)
     r_px = jnp.clip(r_px, 0.75, footprint / 2.0)
-    buf = _seed_points(buf, xy, d01, r_px, species, front, width, height)
+    buf = _seed_points(buf, xy, vz, r_px, species, front, width, height)
 
     seeds = buf[:-1].reshape(height, width)
     return _decode(_dilate(seeds, height, width, footprint), cfg)
