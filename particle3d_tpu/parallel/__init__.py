@@ -6,7 +6,10 @@ from .ring import (
     shard_state,
 )
 from .domain import sharded_cell_simulate, sharded_dense_forces
-from .domain_sharded import sharded_dense_simulate
+from .domain_sharded import (
+    sharded_dense_simulate, build_sharded_dense, sharded_dense_steps,
+    gather_sharded_dense,
+)
 from .launch import (
     initialize_distributed, mesh_shape_2level, auto_mesh_2d,
     shard_state_2level, sharded_simulate_2level, cluster_env_configured,
@@ -14,6 +17,9 @@ from .launch import (
 
 __all__ = [
     "sharded_dense_simulate",
+    "build_sharded_dense",
+    "sharded_dense_steps",
+    "gather_sharded_dense",
     "initialize_distributed",
     "mesh_shape_2level",
     "auto_mesh_2d",

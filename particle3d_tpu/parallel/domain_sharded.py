@@ -28,14 +28,29 @@ Built on the incrementally-maintained dense layout (``ops.celllist_dense``):
 The reference's only parallelism is shared-memory rayon threads
 (``src/lib.rs:141-164``); this is the TPU-native multi-chip counterpart.
 
-State enters and leaves replicated (convenient for tests and checkpoints);
-inside the scan it lives sharded. For truly huge N, initialize per-device
-instead (the build is the only O(N)-replicated stage).
+Two usage shapes:
+
+  * ``sharded_dense_simulate(state, cfg, dt, steps, mesh)`` — state enters
+    and leaves replicated (convenient for tests and checkpoints).
+  * stay-sharded multi-window runs (no replicated round trips)::
+
+        carry = build_sharded_dense(state, cfg, mesh)
+        for _ in range(windows):
+            carry, diag = sharded_dense_steps(carry, cfg, dt, k, mesh)
+        state = gather_sharded_dense(carry, state, cfg, mesh)
+
+    The carry's arrays are globally-shaped but sharded over the mesh axis
+    (each device holds only its slab's rows), so per-chip memory stays
+    O(N/D) for the whole run. For truly huge N, replace the replicated
+    build input with per-device initialization feeding the same carry
+    layout.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +65,55 @@ from ..ops.celllist_dense import (
     _POS, _VEL, _ACC, _U, _V, _WIDTH, bin_sid)
 from ..engine.step import step as _step
 from .mesh import AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class _Geom:
+    """Static slab-decomposition geometry (python ints only)."""
+
+    d: int
+    nsc: int
+    cap: int
+    planes_local: int
+    cols_local: int
+    cs: int
+    s_loc: int
+    k_loc: int
+    k_glob: int
+    mcap: int
+    migcap: int
+    limbocap: int
+    interpret: bool
+
+
+def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
+              limbocap, axis: str, interpret) -> _Geom:
+    if nsc is None:
+        nsc = cfg.cell_grid
+    if cap is None:
+        cap = cfg.cell_capacity
+    assert nsc is not None and cap is not None, \
+        "slab decomposition needs cfg.cell_grid / cfg.cell_capacity"
+    if not cfg.wrap_forces:
+        raise ValueError("slab domain decomposition needs a periodic box")
+    d = mesh.shape[axis]
+    if nsc % d:
+        raise ValueError(f"nsc={nsc} must divide by mesh axis size {d}")
+    planes_local = nsc // d
+    cols_local = planes_local * nsc
+    cs = nsc * cap
+    if mcap is None:
+        mcap = max(512, -(-max(n // (8 * d), 1) // 128) * 128)
+    if migcap is None:
+        migcap = max(256, mcap // 2)
+    if limbocap is None:
+        limbocap = migcap
+    if interpret is None:
+        interpret = _use_interpret()
+    return _Geom(d=d, nsc=nsc, cap=cap, planes_local=planes_local,
+                 cols_local=cols_local, cs=cs, s_loc=cols_local * cs,
+                 k_loc=cols_local * nsc, k_glob=nsc ** 3, mcap=mcap,
+                 migcap=migcap, limbocap=limbocap, interpret=bool(interpret))
 
 
 def _assign_slots(pid, tgt_local, valid, k_loc: int, cap: int):
@@ -79,6 +143,250 @@ def _assign_slots(pid, tgt_local, valid, k_loc: int, cap: int):
     return order, dst, can
 
 
+def _local_build(s, cfg_in, g: _Geom, axis: str):
+    """Per-device slab build from replicated state (inside shard_map).
+
+    Returns (data, pid, limbo_data, limbo_pid, lost0)."""
+    n = s.positions.shape[0]
+    me = jax.lax.axis_index(axis)
+    cell_lo = me * g.k_loc
+    u, v = FF.pair_features(s, cfg_in, pad_p=PAIR_P)
+    packed = jnp.concatenate(
+        [s.positions.astype(jnp.float32),
+         s.velocities.astype(jnp.float32),
+         s.accel.astype(jnp.float32),
+         u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
+    sid = bin_sid(s.positions, cfg_in, g.nsc)
+    slab = sid // (g.planes_local * g.nsc * g.nsc)
+    mine = slab == me
+    key = jnp.where(mine, sid, g.k_glob)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    starts = jnp.searchsorted(key_s, jnp.arange(g.k_glob + 1, dtype=key.dtype))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[
+        jnp.minimum(key_s, g.k_glob)].astype(jnp.int32)
+    keep = jnp.logical_and(key_s < g.k_glob, rank < g.cap)
+    flat = jnp.where(keep, (key_s - cell_lo) * g.cap + rank, g.s_loc)
+    pid = jnp.full((g.s_loc + 1,), -1, jnp.int32)
+    pid = pid.at[flat].set(order.astype(jnp.int32), mode="drop")[:-1]
+    present = pid >= 0
+    data = jnp.where(present[:, None], packed[jnp.where(present, pid, 0)], 0.0)
+
+    # particles the initial build could not place (cell overflow) start in
+    # limbo so they are never silently dropped
+    unplaced = jnp.logical_and(key_s < g.k_glob, rank >= g.cap)
+    li = jnp.nonzero(unplaced, size=g.limbocap, fill_value=n)[0]
+    l_ok = li < n
+    l_src = jnp.where(l_ok, order[jnp.minimum(li, n - 1)], 0)
+    limbo_data = jnp.where(l_ok[:, None], packed[l_src], 0.0)
+    limbo_pid = jnp.where(l_ok, l_src.astype(jnp.int32), -1)
+    lost0 = jnp.maximum(
+        jnp.sum(unplaced.astype(jnp.int32)) - jnp.sum(l_ok.astype(jnp.int32)),
+        0)
+    return data, pid, limbo_data, limbo_pid, lost0
+
+
+def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
+                    species_dtype, masses_dtype):
+    """The per-step closure: halo forces + integrate + rebind/migration."""
+    perm_fwd = [(i, (i + 1) % g.d) for i in range(g.d)]   # to the RIGHT
+    perm_bwd = [(i, (i - 1) % g.d) for i in range(g.d)]   # to the LEFT
+    me = jax.lax.axis_index(axis)
+    cell_lo = me * g.k_loc
+    cell_global_of_slot = cell_lo + jnp.arange(g.s_loc, dtype=jnp.int32) // g.cap
+    dummy_species = jnp.zeros((g.s_loc,), species_dtype)
+    dummy_masses = jnp.zeros((g.s_loc,), masses_dtype)
+    r2v = _r2_gate(cfg_in).astype(jnp.float32)
+    nsc, cap, cs, cols_local = g.nsc, g.cap, g.cs, g.cols_local
+    s_loc, k_loc, k_glob = g.s_loc, g.k_loc, g.k_glob
+    mcap, migcap, limbocap, d = g.mcap, g.migcap, g.limbocap, g.d
+
+    def halo_forces(pos_flat, dat, r2):
+        pos_d = pos_flat.reshape(cols_local, cs, 3).astype(jnp.float32)
+        v_d = dat[:, _V].reshape(cols_local, cs, PAIR_P)
+        r2_d = r2.reshape(cols_local, cs)
+        pack = jnp.concatenate(
+            [pos_d, v_d, r2_d[:, :, None]], axis=-1)  # [cols, cs, 12]
+        from_left = jax.lax.ppermute(pack[cols_local - nsc:], axis, perm_fwd)
+        from_right = jax.lax.ppermute(pack[:nsc], axis, perm_bwd)
+        ext = jnp.concatenate([from_left, pack, from_right], axis=0)
+        pos_e, v_e, r2_e = ext[..., :3], ext[..., 3:3 + PAIR_P], ext[..., 3 + PAIR_P]
+        pos_g = jnp.concatenate(
+            [pos_e[:, cs - cap:], pos_e, pos_e[:, :cap]], axis=1)
+        v_g = jnp.concatenate(
+            [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
+        r2_gh = jnp.concatenate(
+            [r2_e[:, cs - cap:], r2_e, r2_e[:, :cap]], axis=1)
+        out = _call(pos_d, dat[:, _U].reshape(cols_local, cs, PAIR_P),
+                    jnp.transpose(pos_g, (0, 2, 1)),
+                    jnp.transpose(v_g, (0, 2, 1)),
+                    r2_gh[:, None, :], params_f, cfg_in.force_law, True,
+                    nsc, cap, g.interpret, halo=True)
+        return out.reshape(-1, 3)
+
+    def body(carry, _):
+        data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, \
+            lost, shipped = carry
+
+        aligned = jnp.logical_and(
+            pid >= 0,
+            bin_sid(data[:, _POS], cfg_in, nsc) == cell_global_of_slot)
+        r2 = jnp.where(aligned, r2v, -1.0)
+
+        # -- integrate ---------------------------------------------------
+        def accel_fn(positions, st, c):
+            f = halo_forces(positions, data, r2)
+            return f * (FF.kick_scale(c) * (r2 > 0.0)[:, None])
+
+        ps = ParticleState(positions=data[:, _POS], velocities=data[:, _VEL],
+                           species=dummy_species, masses=dummy_masses,
+                           accel=data[:, _ACC])
+        ps = _step(ps, cfg_in, dt_in, accel_fn=accel_fn)
+        data = jnp.concatenate(
+            [ps.positions, ps.velocities, ps.accel, data[:, 9:]], axis=1)
+
+        # -- extract movers ----------------------------------------------
+        occupied = pid >= 0
+        sid_new = bin_sid(data[:, _POS], cfg_in, nsc)
+        moved = jnp.logical_and(occupied, sid_new != cell_global_of_slot)
+        n_mov = jnp.sum(moved.astype(jnp.int32))
+        idx_m = jnp.nonzero(moved, size=mcap, fill_value=s_loc)[0]
+        ok_m = idx_m < s_loc
+        idx_ms = jnp.minimum(idx_m, s_loc - 1)
+        tgt_m = jnp.where(ok_m, sid_new[idx_ms], k_glob)
+        rows_m = data[idx_ms]
+        pid_m = jnp.where(ok_m, pid[idx_ms], -1)
+
+        # limbo rows re-classify every step
+        tgt_l = jnp.where(limbo_pid >= 0,
+                          bin_sid(limbo_data[:, _POS], cfg_in, nsc), k_glob)
+
+        all_tgt = jnp.concatenate([tgt_m, tgt_l])
+        all_rows = jnp.concatenate([rows_m, limbo_data], axis=0)
+        all_pid = jnp.concatenate([pid_m, limbo_pid])
+        all_ok = all_pid >= 0
+        tslab = jnp.minimum(all_tgt, k_glob - 1) // (g.planes_local * nsc * nsc)
+        in_slab = jnp.logical_and(all_ok, tslab == me)
+        go_left = jnp.logical_and(
+            jnp.logical_and(all_ok, ~in_slab), tslab == (me - 1) % d)
+        go_right = jnp.logical_and(
+            jnp.logical_and(jnp.logical_and(all_ok, ~in_slab), ~go_left),
+            tslab == (me + 1) % d)
+
+        # -- outboxes (fixed size; unselected rows stay put/masked) ------
+        def pack_box(mask):
+            bi = jnp.nonzero(mask, size=migcap, fill_value=mask.shape[0])[0]
+            ok = bi < mask.shape[0]
+            bis = jnp.minimum(bi, mask.shape[0] - 1)
+            box_d = jnp.where(ok[:, None], all_rows[bis], 0.0)
+            box_p = jnp.where(ok, all_pid[bis], -1)
+            sel = jnp.zeros((mask.shape[0] + 1,), bool).at[bi].set(
+                True, mode="drop")[:-1]
+            return box_d, box_p, sel
+
+        boxL_d, boxL_p, selL = pack_box(go_left)
+        boxR_d, boxR_p, selR = pack_box(go_right)
+        sel_ship = jnp.logical_or(selL, selR)
+        n_ship = jnp.sum((boxL_p >= 0).astype(jnp.int32)) + \
+            jnp.sum((boxR_p >= 0).astype(jnp.int32))
+
+        # free the slots of SHIPPED movers (first mcap rows are movers)
+        ship_src = jnp.where(sel_ship[:mcap], idx_m, s_loc)
+        data = data.at[ship_src].set(0.0, mode="drop")
+        pid = pid.at[ship_src].set(-1, mode="drop")
+
+        # -- pass A: place in-slab movers (mover rows only) --------------
+        tgt_loc_m = jnp.where(in_slab[:mcap], all_tgt[:mcap] - cell_lo, -1)
+        order_a, dst_a, can_a = _assign_slots(
+            pid, tgt_loc_m, in_slab[:mcap], k_loc, cap)
+        src_a = jnp.where(can_a, idx_m[order_a], s_loc)
+        vals_a = rows_m[order_a]
+        pids_a = pid_m[order_a]
+        data = data.at[src_a].set(0.0, mode="drop")
+        pid = pid.at[src_a].set(-1, mode="drop")
+        data = data.at[dst_a].set(vals_a, mode="drop")
+        pid = pid.at[dst_a].set(jnp.where(can_a, pids_a, -1), mode="drop")
+
+        # -- exchange outboxes --------------------------------------------
+        inL_d = jax.lax.ppermute(boxR_d, axis, perm_fwd)
+        inL_p = jax.lax.ppermute(boxR_p, axis, perm_fwd)
+        inR_d = jax.lax.ppermute(boxL_d, axis, perm_bwd)
+        inR_p = jax.lax.ppermute(boxL_p, axis, perm_bwd)
+
+        # -- pass B: place arrivals + retryable limbo ---------------------
+        limbo_keep_mask = jnp.logical_and(limbo_pid >= 0, ~sel_ship[mcap:])
+        arr_d = jnp.concatenate([inL_d, inR_d, limbo_data], axis=0)
+        arr_p = jnp.concatenate(
+            [inL_p, inR_p, jnp.where(limbo_keep_mask, limbo_pid, -1)])
+        arr_tgt = jnp.where(
+            arr_p >= 0, bin_sid(arr_d[:, _POS], cfg_in, nsc) - cell_lo, -1)
+        arr_valid = jnp.logical_and(
+            arr_p >= 0, jnp.logical_and(arr_tgt >= 0, arr_tgt < k_loc))
+        order_b, dst_b, can_b = _assign_slots(
+            pid, arr_tgt, arr_valid, k_loc, cap)
+        data = data.at[dst_b].set(arr_d[order_b], mode="drop")
+        pid = pid.at[dst_b].set(
+            jnp.where(can_b, arr_p[order_b], -1), mode="drop")
+
+        # -- new limbo: unplaced arrivals (incl. out-of-slab leftovers) --
+        left_p = jnp.where(can_b, -1, arr_p[order_b])
+        left_d = arr_d[order_b]
+        li2 = jnp.nonzero(left_p >= 0, size=limbocap,
+                          fill_value=left_p.shape[0])[0]
+        l_ok2 = li2 < left_p.shape[0]
+        lis = jnp.minimum(li2, left_p.shape[0] - 1)
+        limbo_data = jnp.where(l_ok2[:, None], left_d[lis], 0.0)
+        limbo_pid = jnp.where(l_ok2, left_p[lis], -1)
+        n_limbo = jnp.sum((limbo_pid >= 0).astype(jnp.int32))
+        lost = lost + jnp.maximum(
+            jnp.sum((left_p >= 0).astype(jnp.int32)) - n_limbo, 0)
+
+        n_mask = jnp.sum(jnp.logical_and(
+            pid >= 0,
+            bin_sid(data[:, _POS], cfg_in, nsc) != cell_global_of_slot
+        ).astype(jnp.int32))
+
+        return (data, pid, limbo_data, limbo_pid,
+                jnp.maximum(mx_mov, n_mov), jnp.maximum(mx_mask, n_mask),
+                jnp.maximum(mx_limbo, n_limbo), lost,
+                shipped + n_ship), None
+
+    return body
+
+
+def _reduce_diag(mx_mov, mx_mask, mx_limbo, lost, shipped, axis):
+    return (jax.lax.pmax(mx_mov, axis), jax.lax.pmax(mx_mask, axis),
+            jax.lax.pmax(mx_limbo, axis), jax.lax.psum(lost, axis),
+            jax.lax.psum(shipped, axis))
+
+
+def _gather_state(data, pid, limbo_data, limbo_pid, s, axis):
+    """all_gather the slab rows back to a replicated particle-order state."""
+    n = s.positions.shape[0]
+    data_all = jax.lax.all_gather(data, axis, tiled=True)
+    pid_all = jax.lax.all_gather(pid, axis, tiled=True)
+    ld_all = jax.lax.all_gather(limbo_data, axis, tiled=True)
+    lp_all = jax.lax.all_gather(limbo_pid, axis, tiled=True)
+
+    def back(col, src_data, src_pid, base):
+        idx = jnp.where(src_pid >= 0, src_pid, n)
+        return jnp.pad(base, ((0, 1), (0, 0))).at[idx].set(
+            src_data[:, col], mode="drop")[:n]
+
+    out = s
+    for name, col in (("positions", _POS), ("velocities", _VEL),
+                      ("accel", _ACC)):
+        base = getattr(s, name).astype(jnp.float32)
+        a = back(col, data_all, pid_all, base)
+        a = back(col, ld_all, lp_all, a)
+        out = out.replace(**{name: a})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.jit, static_argnames=(
     "num_steps", "nsc", "cap", "mcap", "migcap", "limbocap", "axis", "mesh",
     "interpret"))
@@ -94,35 +402,9 @@ def sharded_dense_simulate(state: ParticleState, cfg: SimConfig, dt,
     shipped_total))`` — per-device maxima / totals psum-reduced over the
     mesh. Requires ``cfg.wrap_forces`` and ``nsc % mesh_size == 0``.
     """
-    if nsc is None:
-        nsc = cfg.cell_grid
-    if cap is None:
-        cap = cfg.cell_capacity
-    assert nsc is not None and cap is not None, \
-        "sharded_dense_simulate needs cfg.cell_grid / cfg.cell_capacity"
-    if not cfg.wrap_forces:
-        raise ValueError("slab domain decomposition needs a periodic box")
-    d = mesh.shape[axis]
-    if nsc % d:
-        raise ValueError(f"nsc={nsc} must divide by mesh axis size {d}")
     n = state.positions.shape[0]
-    planes_local = nsc // d
-    cols_local = planes_local * nsc
-    cs = nsc * cap
-    s_loc = cols_local * cs
-    k_loc = cols_local * nsc
-    k_glob = nsc ** 3
-    if mcap is None:
-        mcap = max(512, -(-max(n // (8 * d), 1) // 128) * 128)
-    if migcap is None:
-        migcap = max(256, mcap // 2)
-    if limbocap is None:
-        limbocap = migcap
-    if interpret is None:
-        interpret = _use_interpret()
-
-    perm_fwd = [(i, (i + 1) % d) for i in range(d)]   # to the RIGHT neighbor
-    perm_bwd = [(i, (i - 1) % d) for i in range(d)]   # to the LEFT neighbor
+    g = _geometry(cfg, mesh, n, nsc, cap, mcap, migcap, limbocap, axis,
+                  interpret)
     params_f = pack_params(cfg)
 
     @functools.partial(
@@ -132,234 +414,110 @@ def sharded_dense_simulate(state: ParticleState, cfg: SimConfig, dt,
         check_vma=False,
     )
     def run(s, cfg_in, dt_in):
-        me = jax.lax.axis_index(axis)
-        cell_lo = me * k_loc
-        r2v = _r2_gate(cfg_in).astype(jnp.float32)
-
-        # ---- build the local slab's dense layout from replicated state ----
-        u, v = FF.pair_features(s, cfg_in, pad_p=PAIR_P)
-        packed = jnp.concatenate(
-            [s.positions.astype(jnp.float32),
-             s.velocities.astype(jnp.float32),
-             s.accel.astype(jnp.float32),
-             u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
-        sid = bin_sid(s.positions, cfg_in, nsc)
-        slab = sid // (planes_local * nsc * nsc)
-        mine = slab == me
-        key = jnp.where(mine, sid, k_glob)
-        order = jnp.argsort(key)
-        key_s = key[order]
-        starts = jnp.searchsorted(key_s, jnp.arange(k_glob + 1, dtype=key.dtype))
-        rank = jnp.arange(n, dtype=jnp.int32) - starts[
-            jnp.minimum(key_s, k_glob)].astype(jnp.int32)
-        keep = jnp.logical_and(key_s < k_glob, rank < cap)
-        flat = jnp.where(keep, (key_s - cell_lo) * cap + rank, s_loc)
-        pid = jnp.full((s_loc + 1,), -1, jnp.int32)
-        pid = pid.at[flat].set(order.astype(jnp.int32), mode="drop")[:-1]
-        present = pid >= 0
-        data = jnp.where(present[:, None],
-                         packed[jnp.where(present, pid, 0)], 0.0)
-
-        cell_global_of_slot = cell_lo + jnp.arange(
-            s_loc, dtype=jnp.int32) // cap
-        dummy_species = jnp.zeros((s_loc,), s.species.dtype)
-        dummy_masses = jnp.zeros((s_loc,), jnp.float32)
-
-        # particles the initial build could not place (cell overflow) start
-        # in limbo so they are never silently dropped
-        unplaced = jnp.logical_and(key_s < k_glob, rank >= cap)
-        li = jnp.nonzero(unplaced, size=limbocap, fill_value=n)[0]
-        l_ok = li < n
-        l_src = jnp.where(l_ok, order[jnp.minimum(li, n - 1)], 0)
-        limbo_data = jnp.where(l_ok[:, None], packed[l_src], 0.0)
-        limbo_pid = jnp.where(l_ok, l_src.astype(jnp.int32), -1)
-        lost0 = jnp.maximum(
-            jnp.sum(unplaced.astype(jnp.int32)) - jnp.sum(l_ok.astype(jnp.int32)),
-            0)
-
-        # ---- per-step pieces ------------------------------------------------
-        def halo_forces(pos_flat, dat, r2):
-            pos_d = pos_flat.reshape(cols_local, cs, 3).astype(jnp.float32)
-            v_d = dat[:, _V].reshape(cols_local, cs, PAIR_P)
-            r2_d = r2.reshape(cols_local, cs)
-            pack = jnp.concatenate(
-                [pos_d, v_d, r2_d[:, :, None]], axis=-1)  # [cols, cs, 12]
-            from_left = jax.lax.ppermute(pack[cols_local - nsc:], axis, perm_fwd)
-            from_right = jax.lax.ppermute(pack[:nsc], axis, perm_bwd)
-            ext = jnp.concatenate([from_left, pack, from_right], axis=0)
-            pos_e, v_e, r2_e = ext[..., :3], ext[..., 3:3 + PAIR_P], ext[..., 3 + PAIR_P]
-            pos_g = jnp.concatenate(
-                [pos_e[:, cs - cap:], pos_e, pos_e[:, :cap]], axis=1)
-            v_g = jnp.concatenate(
-                [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
-            r2_gh = jnp.concatenate(
-                [r2_e[:, cs - cap:], r2_e, r2_e[:, :cap]], axis=1)
-            out = _call(pos_d, dat[:, _U].reshape(cols_local, cs, PAIR_P),
-                        jnp.transpose(pos_g, (0, 2, 1)),
-                        jnp.transpose(v_g, (0, 2, 1)),
-                        r2_gh[:, None, :], params_f, cfg_in.force_law, True,
-                        nsc, cap, interpret, halo=True)
-            return out.reshape(-1, 3)
-
-        def body(carry, _):
-            data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, \
-                lost, shipped = carry
-
-            aligned = jnp.logical_and(
-                pid >= 0,
-                bin_sid(data[:, _POS], cfg_in, nsc) == cell_global_of_slot)
-            r2 = jnp.where(aligned, r2v, -1.0)
-
-            # -- integrate ---------------------------------------------------
-            def accel_fn(positions, st, c):
-                f = halo_forces(positions, data, r2)
-                return f * (FF.kick_scale(c) * (r2 > 0.0)[:, None])
-
-            ps = ParticleState(positions=data[:, _POS], velocities=data[:, _VEL],
-                               species=dummy_species, masses=dummy_masses,
-                               accel=data[:, _ACC])
-            ps = _step(ps, cfg_in, dt_in, accel_fn=accel_fn)
-            data = jnp.concatenate(
-                [ps.positions, ps.velocities, ps.accel, data[:, 9:]], axis=1)
-
-            # -- extract movers ----------------------------------------------
-            occupied = pid >= 0
-            sid_new = bin_sid(data[:, _POS], cfg_in, nsc)
-            moved = jnp.logical_and(occupied, sid_new != cell_global_of_slot)
-            n_mov = jnp.sum(moved.astype(jnp.int32))
-            idx_m = jnp.nonzero(moved, size=mcap, fill_value=s_loc)[0]
-            ok_m = idx_m < s_loc
-            idx_ms = jnp.minimum(idx_m, s_loc - 1)
-            tgt_m = jnp.where(ok_m, sid_new[idx_ms], k_glob)
-            rows_m = data[idx_ms]
-            pid_m = jnp.where(ok_m, pid[idx_ms], -1)
-
-            # limbo rows re-classify every step (their target may have moved
-            # slabs... it cannot — they are frozen — but uniformity is free)
-            tgt_l = jnp.where(limbo_pid >= 0,
-                              bin_sid(limbo_data[:, _POS], cfg_in, nsc), k_glob)
-
-            all_tgt = jnp.concatenate([tgt_m, tgt_l])
-            all_rows = jnp.concatenate([rows_m, limbo_data], axis=0)
-            all_pid = jnp.concatenate([pid_m, limbo_pid])
-            all_ok = all_pid >= 0
-            tslab = jnp.minimum(all_tgt, k_glob - 1) // (planes_local * nsc * nsc)
-            in_slab = jnp.logical_and(all_ok, tslab == me)
-            go_left = jnp.logical_and(
-                jnp.logical_and(all_ok, ~in_slab), tslab == (me - 1) % d)
-            go_right = jnp.logical_and(
-                jnp.logical_and(jnp.logical_and(all_ok, ~in_slab), ~go_left),
-                tslab == (me + 1) % d)
-
-            # -- outboxes (fixed size; unselected rows stay put/masked) ------
-            def pack_box(mask):
-                bi = jnp.nonzero(mask, size=migcap,
-                                 fill_value=mask.shape[0])[0]
-                ok = bi < mask.shape[0]
-                bis = jnp.minimum(bi, mask.shape[0] - 1)
-                box_d = jnp.where(ok[:, None], all_rows[bis], 0.0)
-                box_p = jnp.where(ok, all_pid[bis], -1)
-                sel = jnp.zeros((mask.shape[0] + 1,), bool).at[bi].set(
-                    True, mode="drop")[:-1]
-                return box_d, box_p, sel
-
-            boxL_d, boxL_p, selL = pack_box(go_left)
-            boxR_d, boxR_p, selR = pack_box(go_right)
-            sel_ship = jnp.logical_or(selL, selR)
-            n_ship = jnp.sum((boxL_p >= 0).astype(jnp.int32)) + \
-                jnp.sum((boxR_p >= 0).astype(jnp.int32))
-
-            # free the slots of SHIPPED movers (first mcap rows are movers)
-            ship_src = jnp.where(sel_ship[:mcap], idx_m, s_loc)
-            data = data.at[ship_src].set(0.0, mode="drop")
-            pid = pid.at[ship_src].set(-1, mode="drop")
-
-            # -- pass A: place in-slab movers (mover rows only) --------------
-            tgt_loc_m = jnp.where(in_slab[:mcap], all_tgt[:mcap] - cell_lo, -1)
-            order_a, dst_a, can_a = _assign_slots(
-                pid, tgt_loc_m, in_slab[:mcap], k_loc, cap)
-            src_a = jnp.where(can_a, idx_m[order_a], s_loc)
-            vals_a = rows_m[order_a]
-            pids_a = pid_m[order_a]
-            data = data.at[src_a].set(0.0, mode="drop")
-            pid = pid.at[src_a].set(-1, mode="drop")
-            data = data.at[dst_a].set(vals_a, mode="drop")
-            pid = pid.at[dst_a].set(jnp.where(can_a, pids_a, -1), mode="drop")
-
-            # -- exchange outboxes -------------------------------------------
-            inL_d = jax.lax.ppermute(boxR_d, axis, perm_fwd)   # right-goers arrive from the left
-            inL_p = jax.lax.ppermute(boxR_p, axis, perm_fwd)
-            inR_d = jax.lax.ppermute(boxL_d, axis, perm_bwd)   # left-goers arrive from the right
-            inR_p = jax.lax.ppermute(boxL_p, axis, perm_bwd)
-
-            # -- pass B: place arrivals + retryable limbo ---------------------
-            # rows: [inbox_L | inbox_R | limbo rows that stayed in-slab]
-            limbo_keep_mask = jnp.logical_and(
-                limbo_pid >= 0, ~sel_ship[mcap:])  # shipped limbo rows left
-            arr_d = jnp.concatenate([inL_d, inR_d, limbo_data], axis=0)
-            arr_p = jnp.concatenate(
-                [inL_p, inR_p, jnp.where(limbo_keep_mask, limbo_pid, -1)])
-            arr_tgt = jnp.where(
-                arr_p >= 0, bin_sid(arr_d[:, _POS], cfg_in, nsc) - cell_lo, -1)
-            arr_valid = jnp.logical_and(
-                arr_p >= 0,
-                jnp.logical_and(arr_tgt >= 0, arr_tgt < k_loc))
-            order_b, dst_b, can_b = _assign_slots(
-                pid, arr_tgt, arr_valid, k_loc, cap)
-            data = data.at[dst_b].set(arr_d[order_b], mode="drop")
-            pid = pid.at[dst_b].set(
-                jnp.where(can_b, arr_p[order_b], -1), mode="drop")
-
-            # -- new limbo: unplaced arrivals (incl. out-of-slab leftovers) --
-            left_p = jnp.where(can_b, -1, arr_p[order_b])
-            left_d = arr_d[order_b]
-            li2 = jnp.nonzero(left_p >= 0, size=limbocap,
-                              fill_value=left_p.shape[0])[0]
-            l_ok2 = li2 < left_p.shape[0]
-            lis = jnp.minimum(li2, left_p.shape[0] - 1)
-            limbo_data = jnp.where(l_ok2[:, None], left_d[lis], 0.0)
-            limbo_pid = jnp.where(l_ok2, left_p[lis], -1)
-            n_limbo = jnp.sum((limbo_pid >= 0).astype(jnp.int32))
-            lost = lost + jnp.maximum(
-                jnp.sum((left_p >= 0).astype(jnp.int32)) - n_limbo, 0)
-
-            n_mask = jnp.sum(jnp.logical_and(
-                pid >= 0,
-                bin_sid(data[:, _POS], cfg_in, nsc) != cell_global_of_slot
-            ).astype(jnp.int32))
-
-            return (data, pid, limbo_data, limbo_pid,
-                    jnp.maximum(mx_mov, n_mov), jnp.maximum(mx_mask, n_mask),
-                    jnp.maximum(mx_limbo, n_limbo), lost,
-                    shipped + n_ship), None
-
+        data, pid, limbo_data, limbo_pid, lost0 = _local_build(
+            s, cfg_in, g, axis)
+        body = _make_step_body(cfg_in, dt_in, g, axis, params_f,
+                               s.species.dtype, jnp.float32)
         carry0 = (data, pid, limbo_data, limbo_pid,
-                  jnp.int32(0), jnp.int32(0), jnp.int32(0), lost0, jnp.int32(0))
+                  jnp.int32(0), jnp.int32(0), jnp.int32(0), lost0,
+                  jnp.int32(0))
         (data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, lost,
          shipped), _ = jax.lax.scan(body, carry0, None, length=num_steps)
-
-        # ---- gather back to replicated particle order ----------------------
-        data_all = jax.lax.all_gather(data, axis, tiled=True)
-        pid_all = jax.lax.all_gather(pid, axis, tiled=True)
-        ld_all = jax.lax.all_gather(limbo_data, axis, tiled=True)
-        lp_all = jax.lax.all_gather(limbo_pid, axis, tiled=True)
-
-        def back(col, src_data, src_pid, base):
-            idx = jnp.where(src_pid >= 0, src_pid, n)
-            return jnp.pad(base, ((0, 1), (0, 0))).at[idx].set(
-                src_data[:, col], mode="drop")[:n]
-
-        out = s
-        for name, col in (("positions", _POS), ("velocities", _VEL),
-                          ("accel", _ACC)):
-            base = getattr(s, name).astype(jnp.float32)
-            a = back(col, data_all, pid_all, base)
-            a = back(col, ld_all, lp_all, a)
-            out = out.replace(**{name: a})
-
-        diag = (jax.lax.pmax(mx_mov, axis), jax.lax.pmax(mx_mask, axis),
-                jax.lax.pmax(mx_limbo, axis), jax.lax.psum(lost, axis),
-                jax.lax.psum(shipped, axis))
-        return out, diag
+        out = _gather_state(data, pid, limbo_data, limbo_pid, s, axis)
+        return out, _reduce_diag(mx_mov, mx_mask, mx_limbo, lost, shipped,
+                                 axis)
 
     return run(state, cfg, jnp.asarray(dt, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsc", "cap", "mcap", "migcap", "limbocap", "axis", "mesh", "interpret"))
+def build_sharded_dense(state: ParticleState, cfg: SimConfig, mesh,
+                        nsc: int | None = None, cap: int | None = None,
+                        mcap: int | None = None, migcap: int | None = None,
+                        limbocap: int | None = None, axis: str = AXIS,
+                        interpret: bool | None = None):
+    """Build the stay-sharded carry from a replicated state.
+
+    Returns ``(data, pid, limbo_data, limbo_pid, lost)`` where the arrays
+    are globally shaped ([D*s_loc, ...], [D*limbocap, ...]) but sharded over
+    ``axis`` — each device materializes only its slab.
+    """
+    n = state.positions.shape[0]
+    g = _geometry(cfg, mesh, n, nsc, cap, mcap, migcap, limbocap, axis,
+                  interpret)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), jax.tree.map(lambda _: P(), cfg)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    def run(s, cfg_in):
+        data, pid, limbo_data, limbo_pid, lost0 = _local_build(
+            s, cfg_in, g, axis)
+        return data, pid, limbo_data, limbo_pid, jax.lax.psum(lost0, axis)
+
+    return run(state, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_steps", "nsc", "cap", "mcap", "migcap", "axis", "mesh", "interpret"))
+def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
+                        nsc: int | None = None, cap: int | None = None,
+                        mcap: int | None = None, migcap: int | None = None,
+                        axis: str = AXIS, interpret: bool | None = None):
+    """Advance a stay-sharded carry by ``num_steps`` (no replicated round
+    trip). Returns ``(carry, (max_movers, max_masked, max_limbo, lost,
+    shipped))`` with ``lost``/``shipped`` counted for this window only."""
+    data, pid, limbo_data, limbo_pid, lost_prev = carry
+    d = mesh.shape[axis]
+    limbocap = limbo_pid.shape[0] // d
+    # recover n bound for mover capacity from the carry shape
+    n_hint = pid.shape[0]
+    g = _geometry(cfg, mesh, n_hint, nsc, cap, mcap, migcap, limbocap, axis,
+                  interpret)
+    params_f = pack_params(cfg)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  jax.tree.map(lambda _: P(), cfg), P()),
+        out_specs=((P(axis), P(axis), P(axis), P(axis), P()),
+                   (P(), P(), P(), P(), P())),
+        check_vma=False,
+    )
+    def run(data, pid, limbo_data, limbo_pid, cfg_in, dt_in):
+        body = _make_step_body(cfg_in, dt_in, g, axis, params_f,
+                               jnp.int32, jnp.float32)
+        carry0 = (data, pid, limbo_data, limbo_pid,
+                  jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                  jnp.int32(0))
+        (data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, lost,
+         shipped), _ = jax.lax.scan(body, carry0, None, length=num_steps)
+        diag = _reduce_diag(mx_mov, mx_mask, mx_limbo, lost, shipped, axis)
+        return (data, pid, limbo_data, limbo_pid,
+                jax.lax.psum(lost, axis)), diag
+
+    (data, pid, limbo_data, limbo_pid, lost), diag = run(
+        data, pid, limbo_data, limbo_pid, cfg, jnp.asarray(dt, jnp.float32))
+    return (data, pid, limbo_data, limbo_pid, lost_prev + lost), diag
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "mesh"))
+def gather_sharded_dense(carry, state: ParticleState, mesh,
+                         axis: str = AXIS) -> ParticleState:
+    """Replicated particle-order state from a stay-sharded carry (particles
+    never placed in a slot keep their values from ``state``)."""
+    data, pid, limbo_data, limbo_pid, _ = carry
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(data, pid, limbo_data, limbo_pid, s):
+        return _gather_state(data, pid, limbo_data, limbo_pid, s, axis)
+
+    return run(data, pid, limbo_data, limbo_pid, state)

@@ -76,3 +76,32 @@ def test_rejects_nonperiodic_and_indivisible():
     with pytest.raises(ValueError, match="divide"):
         sharded_dense_simulate(
             st, cfg.replace(cell_grid=6), jnp.float32(0.01), 2, mesh)
+
+
+def test_stay_sharded_carry_matches_single_call():
+    """build + two step windows + gather == one sharded_dense_simulate call,
+    with the carry actually sharded over the mesh axis."""
+    from particle3d_tpu.parallel.domain_sharded import (
+        build_sharded_dense, sharded_dense_steps, gather_sharded_dense)
+    from jax.sharding import PartitionSpec as P
+
+    st, cfg = _scene()
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    want, _ = sharded_dense_simulate(st, cfg, dt, 10, mesh)
+
+    carry = build_sharded_dense(st, cfg, mesh)
+    data = carry[0]
+    # the carry is genuinely state-sharded (O(N/D) rows per device)
+    assert data.sharding.is_equivalent_to(
+        jax.NamedSharding(mesh, P("shard")), data.ndim)
+    carry, diag1 = sharded_dense_steps(carry, cfg, dt, 5, mesh)
+    carry, diag2 = sharded_dense_steps(carry, cfg, dt, 5, mesh)
+    assert int(diag1[3]) == 0 and int(diag2[3]) == 0  # lost
+    out = gather_sharded_dense(carry, st, mesh)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(want.positions),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.velocities),
+                               np.asarray(want.velocities),
+                               rtol=1e-5, atol=1e-6)
