@@ -462,6 +462,64 @@ def build_sharded_dense(state: ParticleState, cfg: SimConfig, mesh,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "n", "nsc", "cap", "mcap", "migcap", "limbocap", "axis", "mesh",
+    "interpret"))
+def init_sharded_dense(key, n: int, cfg: SimConfig, mesh,
+                       nsc: int | None = None, cap: int | None = None,
+                       mcap: int | None = None, migcap: int | None = None,
+                       limbocap: int | None = None, axis: str = AXIS,
+                       interpret: bool | None = None):
+    """Initialize a uniform random scene DIRECTLY into the sharded carry —
+    no O(N)-replicated stage anywhere (the config-5 16M entry point).
+
+    Each device draws its n/D particles with x confined to its own slab
+    (equal slab volumes → the same uniform density as a global draw, with
+    per-slab counts fixed at n/D instead of multinomial) and builds its
+    local layout from the n/D-sized sort. Particle ids are globally unique
+    (device offset). Requires n % D == 0.
+    """
+    g = _geometry(cfg, mesh, n, nsc, cap, mcap, migcap, limbocap, axis,
+                  interpret)
+    if n % g.d:
+        raise ValueError(f"N={n} must divide by mesh size {g.d}")
+    n_loc = n // g.d
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), jax.tree.map(lambda _: P(), cfg)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    def run(key_in, cfg_in):
+        me = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key_in, me)
+        kp, ks = jax.random.split(k)
+        w = jnp.asarray(cfg_in.world_size, jnp.float32)
+        slab_w = w / g.d
+        x_lo = -0.5 * w + me.astype(jnp.float32) * slab_w
+        pos = jax.random.uniform(kp, (n_loc, 3), jnp.float32,
+                                 minval=-0.5, maxval=0.5)
+        pos = pos.at[:, 0].set(
+            x_lo + (pos[:, 0] + 0.5) * slab_w).at[:, 1:].multiply(w)
+        species = jax.random.randint(ks, (n_loc,), 0, cfg_in.id_count)
+        s_local = ParticleState(
+            positions=pos,
+            velocities=jnp.zeros((n_loc, 3), jnp.float32),
+            species=species.astype(jnp.int32),
+            masses=jnp.ones((n_loc,), jnp.float32),
+            accel=jnp.zeros((n_loc, 3), jnp.float32))
+        data, pid, limbo_data, limbo_pid, lost0 = _local_build(
+            s_local, cfg_in, g, axis)
+        # globalize the particle ids (local build numbers them 0..n_loc)
+        off = (me * n_loc).astype(jnp.int32)
+        pid = jnp.where(pid >= 0, pid + off, pid)
+        limbo_pid = jnp.where(limbo_pid >= 0, limbo_pid + off, limbo_pid)
+        return data, pid, limbo_data, limbo_pid, jax.lax.psum(lost0, axis)
+
+    return run(key, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "num_steps", "nsc", "cap", "mcap", "migcap", "axis", "mesh", "interpret"))
 def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                         nsc: int | None = None, cap: int | None = None,

@@ -105,3 +105,44 @@ def test_stay_sharded_carry_matches_single_call():
     np.testing.assert_allclose(np.asarray(out.velocities),
                                np.asarray(want.velocities),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_init_sharded_dense_no_replicated_stage():
+    """Per-device scene init straight into the sharded carry: globally
+    unique pids, every occupant in its own slab, steppable and gatherable."""
+    from particle3d_tpu.parallel.domain_sharded import (
+        init_sharded_dense, sharded_dense_steps, gather_sharded_dense)
+    from particle3d_tpu.ops.celllist_dense import bin_sid
+    from particle3d_tpu.state import ParticleState
+
+    cfg = reference_config(world_size=16.0).replace(
+        neighbor="celllist_pallas", cell_grid=8, cell_capacity=32)
+    mesh = make_mesh(4)
+    n = 512
+    carry = init_sharded_dense(jax.random.PRNGKey(0), n, cfg, mesh)
+    data, pid = np.asarray(carry[0]), np.asarray(carry[1])
+    live = pid[pid >= 0]
+    assert len(np.unique(live)) == len(live)
+    assert int(carry[4]) + len(live) + int((np.asarray(carry[3]) >= 0).sum()) == n
+    # occupants binned into the cell their slot belongs to
+    cap = 32
+    sids = np.asarray(bin_sid(jnp.asarray(data[:, 0:3]), cfg, 8))
+    cells = np.arange(pid.shape[0]) // cap
+    occ = pid >= 0
+    assert (sids[occ] == cells[occ]).all()
+
+    carry, diag = sharded_dense_steps(carry, cfg, jnp.float32(1 / 30), 5, mesh)
+    assert int(diag[3]) == 0  # nothing lost
+    base = ParticleState(
+        positions=jnp.zeros((n, 3)), velocities=jnp.zeros((n, 3)),
+        species=jnp.zeros((n,), jnp.int32), masses=jnp.ones((n,)),
+        accel=jnp.zeros((n, 3)))
+    out = gather_sharded_dense(carry, base, mesh)
+    pos = np.asarray(out.positions)
+    assert np.isfinite(pos).all()
+    assert np.abs(pos).max() <= 8.0 + 1e-5
+    # roughly uniform across slabs after init
+    x = data[occ, 0]
+    for s in range(4):
+        frac = ((x >= -8 + 4 * s) & (x < -8 + 4 * (s + 1))).mean()
+        assert 0.15 < frac < 0.35
