@@ -79,25 +79,31 @@ def main():
         print(f"{a.mode}: N={n} {a.steps} steps in {sec:.2f}s = "
               f"{a.steps/sec:.2f} steps/s "
               f"({float(n)*n*a.steps/sec:.3e} pair-interactions/s)")
-    else:  # slab16m
+    else:  # slab16m — fully stay-sharded: init -> steps, no replicated stage
+        from particle3d_tpu.parallel import (
+            init_sharded_dense, sharded_dense_steps)
+
         nsc = 64 if (a.full or (a.n or 0) > 1_000_000) else 8
         while nsc % d:
             nsc += d
         n = a.n or (16_777_216 if a.full else 4096)
+        n -= n % d
         cap = max(4, int(2.5 * n / nsc ** 3) + 1)
         cfg = SimConfig(world_size=float(nsc),  # cell width 1.0 = cutoff
                         neighbor="celllist_pallas", cell_grid=nsc,
                         cell_capacity=cap).validate()
-        state = init_scene(jax.random.PRNGKey(0), n, cfg)
         mesh = make_mesh(d)
+        carry = init_sharded_dense(jax.random.PRNGKey(0), n, cfg, mesh,
+                                   nsc=nsc, cap=cap)
+        jax.block_until_ready(carry[0])
         t0 = time.perf_counter()
-        out, (mov, mask, limbo, lost, shipped) = sharded_dense_simulate(
-            state, cfg, jnp.float32(1 / 60), a.steps, mesh)
-        jax.block_until_ready(out.positions)
+        carry, (mov, mask, limbo, lost, shipped) = sharded_dense_steps(
+            carry, cfg, jnp.float32(1 / 60), a.steps, mesh, nsc=nsc, cap=cap)
+        jax.block_until_ready(carry[0])
         sec = time.perf_counter() - t0
-        print(f"slab: N={n} nsc={nsc} cap={cap} {a.steps} steps in "
-              f"{sec:.2f}s = {a.steps/sec:.2f} steps/s; shipped={int(shipped)}"
-              f" masked={int(mask)} lost={int(lost)}")
+        print(f"slab (stay-sharded): N={n} nsc={nsc} cap={cap} {a.steps} "
+              f"steps in {sec:.2f}s = {a.steps/sec:.2f} steps/s; "
+              f"shipped={int(shipped)} masked={int(mask)} lost={int(lost)}")
 
 
 if __name__ == "__main__":
