@@ -148,6 +148,9 @@ class SimulationApp:
 
                 self.state, drift = simulate_cadenced(
                     self.state, self.cfg, dt, n_steps, rebuild_every=n_steps)
+                # this path advances state outside the persisted dense
+                # layout: a cached layout would replay stale positions
+                self._invalidate_dense()
                 drift = float(np.asarray(drift))
                 self.max_drift = max(self.max_drift, drift)
                 if drift > budget:

@@ -188,3 +188,27 @@ def test_app_persists_dense_layout_across_ticks():
     assert app._dense is None
     app.run_steps(1)  # rebuilds and keeps working
     assert app._dense is not None
+
+
+def test_app_mode_alternation_no_stale_layout():
+    """Regression: a cadenced-path window advances state outside the cached
+    dense layout; a following dense-path window must not replay stale
+    positions. Alternating n_steps=1 (dense) and n_steps=4 (cadenced, ample
+    budget) flips modes every call."""
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = reference_config(world_size=16.0).replace(
+        neighbor="celllist_pallas", cell_grid=8, cell_capacity=32)
+    st = init_scene(jax.random.PRNGKey(13), 256, cfg)
+    app = SimulationApp(state=st, cfg=cfg)
+    assert app.drift_budget() > 0.0
+    app.run_steps(1)   # dense path, caches layout
+    app.run_steps(4)   # cadenced path -> must invalidate the cache
+    assert app._dense is None
+    app.run_steps(1)   # dense again, rebuilt from CURRENT state
+    ref = st
+    from particle3d_tpu import simulate
+    ref = simulate(st, cfg, jnp.float32(1 / 60), 6)
+    np.testing.assert_allclose(np.asarray(app.state.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
