@@ -53,7 +53,27 @@ def _cmd_run(a):
         state, cfg, start_step, _ = load_checkpoint(a.checkpoint)
         print(f"resuming from {a.checkpoint} at step {start_step}")
     t0 = time.perf_counter()
-    if a.gif:
+    if a.record:
+        from .engine.step import trajectory
+        from .utils.trajio import TrajectoryWriter
+        from .utils.checkpoint import _config_to_jsonable
+
+        state = warmup(state, cfg)
+        meta = {"config": _config_to_jsonable(cfg), "dt": float(dt),
+                "snapshot_every": a.snapshot_every}
+        total = (a.steps // a.snapshot_every) * a.snapshot_every
+        chunk = a.snapshot_every * 64  # bound device memory for snapshots
+        with TrajectoryWriter(a.record, state.n, state.species, meta) as tw:
+            done = 0
+            while done < total:
+                k = min(chunk, total - done)
+                state, snaps = trajectory(state, cfg, dt, k,
+                                          snapshot_every=a.snapshot_every)
+                tw.append_batch(snaps)
+                done += k
+            n_frames = tw.frames
+        print(f"recorded {n_frames} frames to {a.record}")
+    elif a.gif:
         state, frames = render_trajectory(
             state, cfg, dt, a.steps, snapshot_every=a.snapshot_every,
             width=a.width, height=a.height)
@@ -102,6 +122,26 @@ def _cmd_resume(a):
     print(f"wrote {out}")
 
 
+def _cmd_replay(a):
+    import numpy as np
+
+    from .utils.trajio import TrajectoryReader
+    from .utils.checkpoint import _config_from_jsonable
+    from .render.camera import default_camera
+    from .render.splat import render_frame
+    from .app.headless import save_gif
+
+    tr = TrajectoryReader(a.traj)
+    cfg = _config_from_jsonable(tr.meta["config"])
+    cam = default_camera(float(np.asarray(cfg.world_size)))
+    species = np.asarray(tr.species)
+    idxs = range(0, len(tr), a.every)
+    frames = [np.asarray(render_frame(tr[i], species, cfg, cam,
+                                      a.width, a.height)) for i in idxs]
+    save_gif(np.stack(frames), a.gif, fps=a.fps)
+    print(f"replayed {len(frames)} of {len(tr)} frames -> {a.gif}")
+
+
 def _cmd_serve(a):
     from .app.server import main as serve_main
 
@@ -146,7 +186,19 @@ def main(argv=None):
     r.add_argument("--checkpoint-every", type=int, default=None,
                    help="write the checkpoint every N steps and auto-resume "
                         "from it if it exists (snapshot-based restart)")
+    r.add_argument("--record", default=None,
+                   help="stream position frames (every --snapshot-every "
+                        "steps) to this .p3t trajectory file")
     r.set_defaults(fn=_cmd_run)
+
+    rp = sub.add_parser("replay", help="render a recorded trajectory to GIF")
+    rp.add_argument("--traj", required=True)
+    rp.add_argument("--gif", required=True)
+    rp.add_argument("--every", type=int, default=1)
+    rp.add_argument("--fps", type=int, default=20)
+    rp.add_argument("--width", type=int, default=480)
+    rp.add_argument("--height", type=int, default=360)
+    rp.set_defaults(fn=_cmd_replay)
 
     s = sub.add_parser("serve", help="interactive browser UI")
     s.add_argument("--preset", default="reference")

@@ -64,3 +64,24 @@ def test_headless_gif_export(tmp_path):
 
     im = Image.open(gif)
     assert im.n_frames == 3
+
+
+def test_record_and_replay(tmp_path):
+    traj = str(tmp_path / "t.p3t")
+    r = _cli("run", "--preset", "reference", "--n", "64", "--steps", "24",
+             "--snapshot-every", "4", "--record", traj)
+    assert r.returncode == 0, r.stderr
+    from particle3d_tpu.utils.trajio import TrajectoryReader
+
+    tr = TrajectoryReader(traj)
+    assert tr.n == 64 and len(tr) == 6
+    assert tr[0].shape == (64, 3)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(tr.positions())).all()
+    assert not np.allclose(tr[0], tr[5])  # motion recorded
+    gif = str(tmp_path / "r.gif")
+    r2 = _cli("replay", "--traj", traj, "--gif", gif, "--every", "2",
+              "--width", "120", "--height", "90")
+    assert r2.returncode == 0, r2.stderr
+    assert os.path.getsize(gif) > 300
