@@ -49,6 +49,16 @@ def _particle_life_large(key, n: int | None = None):
     return init_scene(key, n, cfg), cfg, 1.0 / 60.0
 
 
+def _particle_life_1m(key, n: int | None = None):
+    """Million-particle particle life on the exact production path
+    (incremental dense cell layout; measured 3.7 steps/s on one v5e —
+    docs/PERF.md)."""
+    n = 1_048_576 if n is None else n
+    cfg = reference_config(world_size=64.0).replace(
+        neighbor="celllist_pallas", cell_grid=64, cell_capacity=16)
+    return init_scene(key, n, cfg), cfg, 1.0 / 60.0
+
+
 def _particle_life_large_allpairs(key, n: int | None = None):
     """Large-N particle life on the brute-force Pallas all-pairs kernel
     (the BASELINE pair-interactions/sec metric workload)."""
@@ -172,6 +182,7 @@ PRESETS: dict[str, Callable] = {
     "reference": _reference,
     "reference_walls": _reference_walls,
     "particle_life_large": _particle_life_large,
+    "particle_life_1m": _particle_life_1m,
     "particle_life_large_allpairs": _particle_life_large_allpairs,
     "verlet_elastic": _verlet_elastic,
     "lj_gas": _lj_gas,
