@@ -108,19 +108,37 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
     jax.lax.fori_loop(0, nchunks, chunk, 0)
 
 
-def _pick_zr(nsc: int, cap: int) -> int:
+def _pick_zr(nsc: int, cap: int, require_aligned: bool = False) -> int:
     """Largest chunk height with TI=zr*cap near 128-256 that divides nsc.
 
     Capped at nsc-2: a window of zr+2 supercells must never contain both a
     core supercell and its wrap-ghost copy, or wrapped pairs double count.
+
+    On real TPUs the chunk offsets (zr*cap) MUST be 128-lane aligned —
+    Mosaic rejects the kernel's dynamic VMEM window loads otherwise (an
+    opaque compile failure); ``require_aligned=True`` turns that into a
+    clear error listing working capacities.
     """
     target = max(1, 256 // max(cap, 1))
-    # prefer chunk offsets (zr*cap) that are 128-lane aligned — Mosaic
-    # rejects some unaligned dynamic window loads
     for aligned in (True, False):
+        if require_aligned and not aligned:
+            break
         for zr in range(min(target, nsc - 2), 0, -1):
             if nsc % zr == 0 and (not aligned or (zr * cap) % 128 == 0):
                 return zr
+        # aligned but larger than the latency target still compiles fine
+        for zr in range(min(target, nsc - 2) + 1, nsc - 1):
+            if nsc % zr == 0 and (zr * cap) % 128 == 0:
+                return zr
+    if require_aligned:
+        ok = sorted(c for c in range(1, 257) if any(
+            nsc % zr == 0 and (zr * c) % 128 == 0
+            for zr in range(1, nsc - 1)))
+        raise ValueError(
+            f"cell_capacity={cap} has no 128-lane-aligned z-chunking for "
+            f"cell_grid={nsc} (Mosaic requires zr*cap % 128 == 0 with zr "
+            f"dividing {nsc}); working capacities include "
+            f"{[c for c in ok if c <= 4 * cap][:12]}")
     return 1
 
 
@@ -139,7 +157,7 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     cs = nsc * cap
     g = (nsc + 2) * cap
     p = u_d.shape[2]
-    zr = _pick_zr(nsc, cap)
+    zr = _pick_zr(nsc, cap, require_aligned=not interpret)
 
     def rec_map(c):
         return (c, 0, 0)
