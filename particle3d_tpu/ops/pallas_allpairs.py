@@ -54,8 +54,8 @@ _PF_W = 0        # world size
 _PF_INV_W = 1    # 1 / world
 _PF_M = 2        # min_pull_ratio
 _PF_INV_M = 3    # 1 / min_pull_ratio
-_PF_INV_1M = 4   # 1 / (1 - min_pull_ratio)
-_PF_C1M = 5      # 1 + min_pull_ratio
+_PF_INV_1M = 4   # 1 / (1 - min_pull_ratio)   (kept for layout stability;
+_PF_C1M = 5      # 1 + min_pull_ratio          superseded by _PF_T2/_PF_TC)
 _PF_LJ24E = 6    # 24 * lj_epsilon
 _PF_LJ_S2 = 7    # lj_sigma^2
 _PF_G = 8        # gravity constant
