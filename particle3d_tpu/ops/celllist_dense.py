@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from ..config import SimConfig
 from .pallas_allpairs import PAIR_P, pack_params, _r2_gate, _use_interpret
 from .pallas_celllist import _call
+from .compaction import masked_indices
 from . import forces as F
 
 # packed row layout: [pos(3) | vel(3) | acc(3) | U(P) | V(P)]
@@ -210,7 +211,9 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     n_movers = jnp.sum(moved.astype(jnp.int32))
 
     # -- extract + sort movers by target cell --------------------------------
-    idx_m = jnp.nonzero(moved, size=mcap, fill_value=s_total)[0]
+    # bit-exact jnp.nonzero replacement with a lane-parallel rank scan —
+    # measured 8.1 -> 4.3 ms at S=1M on a v5e (examples/probe_rebind_costs.py)
+    idx_m = masked_indices(moved, mcap, fill_value=s_total)
     valid_m = idx_m < s_total
     idx_safe = jnp.minimum(idx_m, s_total - 1)
     tgt = jnp.where(valid_m, sid_new[idx_safe], k_cells)

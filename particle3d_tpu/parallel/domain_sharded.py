@@ -63,6 +63,7 @@ from ..ops.pallas_allpairs import PAIR_P, pack_params, _r2_gate, _use_interpret
 from ..ops.pallas_celllist import _call
 from ..ops.celllist_dense import (
     _POS, _VEL, _ACC, _U, _V, _WIDTH, bin_sid)
+from ..ops.compaction import masked_indices
 from ..engine.step import step as _step
 from .mesh import AXIS
 
@@ -175,7 +176,7 @@ def _local_build(s, cfg_in, g: _Geom, axis: str):
     # particles the initial build could not place (cell overflow) start in
     # limbo so they are never silently dropped
     unplaced = jnp.logical_and(key_s < g.k_glob, rank >= g.cap)
-    li = jnp.nonzero(unplaced, size=g.limbocap, fill_value=n)[0]
+    li = masked_indices(unplaced, g.limbocap, fill_value=n)
     l_ok = li < n
     l_src = jnp.where(l_ok, order[jnp.minimum(li, n - 1)], 0)
     limbo_data = jnp.where(l_ok[:, None], packed[l_src], 0.0)
@@ -250,7 +251,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         sid_new = bin_sid(data[:, _POS], cfg_in, nsc)
         moved = jnp.logical_and(occupied, sid_new != cell_global_of_slot)
         n_mov = jnp.sum(moved.astype(jnp.int32))
-        idx_m = jnp.nonzero(moved, size=mcap, fill_value=s_loc)[0]
+        idx_m = masked_indices(moved, mcap, fill_value=s_loc)
         ok_m = idx_m < s_loc
         idx_ms = jnp.minimum(idx_m, s_loc - 1)
         tgt_m = jnp.where(ok_m, sid_new[idx_ms], k_glob)
@@ -275,7 +276,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
 
         # -- outboxes (fixed size; unselected rows stay put/masked) ------
         def pack_box(mask):
-            bi = jnp.nonzero(mask, size=migcap, fill_value=mask.shape[0])[0]
+            bi = masked_indices(mask, migcap, fill_value=mask.shape[0])
             ok = bi < mask.shape[0]
             bis = jnp.minimum(bi, mask.shape[0] - 1)
             box_d = jnp.where(ok[:, None], all_rows[bis], 0.0)
@@ -331,8 +332,8 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         # -- new limbo: unplaced arrivals (incl. out-of-slab leftovers) --
         left_p = jnp.where(can_b, -1, arr_p[order_b])
         left_d = arr_d[order_b]
-        li2 = jnp.nonzero(left_p >= 0, size=limbocap,
-                          fill_value=left_p.shape[0])[0]
+        li2 = masked_indices(left_p >= 0, limbocap,
+                             fill_value=left_p.shape[0])
         l_ok2 = li2 < left_p.shape[0]
         lis = jnp.minimum(li2, left_p.shape[0] - 1)
         limbo_data = jnp.where(l_ok2[:, None], left_d[lis], 0.0)
