@@ -44,7 +44,7 @@ _OFFSETS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
-            law: str, wrap: bool, nsc: int, cap: int, zr: int,
+            law: str, wrap: bool, nsc: int, cap: int, zr: int, zr2: int,
             use_rsqrt: bool):
     src_pos = rest[0:9]      # each (1, 3, G) ghosted column, G=(nsc+2)*cap
     src_vt = rest[9:18]      # each (1, P, G)
@@ -56,53 +56,77 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
     ti = zr * cap            # receiver rows per chunk
     wl = (zr + 2) * cap      # window rows per column
     nchunks = nsc // zr
+    # z sub-chunking: the chunk's DMA windows must start 128-lane aligned
+    # (hence zr*cap % 128 == 0), but a zr2-supercell receiver group only
+    # interacts with a (zr2+2)-supercell sub-window — carving it with STATIC
+    # slices of the loaded window values cuts the VPU pair-op tile from
+    # [ti, 9*(zr+2)*cap] to nsub x [ti2, 9*(zr2+2)*cap]: ~2.3x fewer
+    # pair-lane-ops at zr=8, zr2=2, cap=16 (measured on v5e).
+    ti2 = zr2 * cap
+    swl = (zr2 + 2) * cap
+    nsub = zr // zr2
 
     def chunk(ch, _):
         base = ch * ti       # core-coord row == ghosted-coord window start
         win = pl.ds(base, wl)
-        xj = jnp.concatenate([r[0, 0:1, win] for r in src_pos], axis=1)
-        yj = jnp.concatenate([r[0, 1:2, win] for r in src_pos], axis=1)
-        zj = jnp.concatenate([r[0, 2:3, win] for r in src_pos], axis=1)
-        vt = jnp.concatenate([r[0, :, win] for r in src_vt], axis=1)
-        r2row = jnp.concatenate([r[0, 0:1, win] for r in src_r2], axis=1)
+        cols_x = [r[0, 0:1, win] for r in src_pos]
+        cols_y = [r[0, 1:2, win] for r in src_pos]
+        cols_z = [r[0, 2:3, win] for r in src_pos]
+        cols_v = [r[0, :, win] for r in src_vt]
+        cols_r2 = [r[0, 0:1, win] for r in src_r2]
 
         rec = pl.ds(base, ti)
-        xi = rec_pos_ref[0, rec, 0:1]  # (TI, 1)
-        yi = rec_pos_ref[0, rec, 1:2]
-        zi = rec_pos_ref[0, rec, 2:3]
-        u = rec_u_ref[0, rec, :]       # (TI, P)
+        xi_t = rec_pos_ref[0, rec, 0:1]  # (TI, 1)
+        yi_t = rec_pos_ref[0, rec, 1:2]
+        zi_t = rec_pos_ref[0, rec, 2:3]
+        u_t = rec_u_ref[0, rec, :]       # (TI, P)
 
-        dx = xj - xi
-        dy = yj - yi
-        dz = zj - zi
-        if wrap:
-            dx = dx - jnp.round(dx * inv_w) * w
-            dy = dy - jnp.round(dy * inv_w) * w
-            dz = dz - jnp.round(dz * inv_w) * w
-        d2 = dx * dx + dy * dy + dz * dz
-        in_r = d2 < r2row
-        coef = jnp.dot(u, vt, preferred_element_type=jnp.float32)
-        if law == "particle_life":
-            safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
-            sca = _scale(law, safe, coef, pf_ref, None, use_rsqrt)
-        elif law == "gravity":
-            # d2 > 0 guards softening == 0 (NaN poisoning); see pallas_allpairs
-            valid = jnp.logical_and(d2 > 0.0, in_r)
-            safe = jnp.where(valid, d2, 1.0)
-            sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
-        else:
-            valid = jnp.logical_and(d2 > 0.0, in_r)
-            safe = jnp.where(valid, d2, 1.0)
-            sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
-        acc = jnp.concatenate(
-            [
-                jnp.sum(dx * sca, axis=1, keepdims=True),
-                jnp.sum(dy * sca, axis=1, keepdims=True),
-                jnp.sum(dz * sca, axis=1, keepdims=True),
-            ],
-            axis=1,
-        )
-        out_ref[0, rec, :] = acc
+        accs = []
+        for sub in range(nsub):
+            off = sub * ti2
+            sl = slice(off, off + swl)
+            xj = jnp.concatenate([c[:, sl] for c in cols_x], axis=1)
+            yj = jnp.concatenate([c[:, sl] for c in cols_y], axis=1)
+            zj = jnp.concatenate([c[:, sl] for c in cols_z], axis=1)
+            vt = jnp.concatenate([c[:, sl] for c in cols_v], axis=1)
+            r2row = jnp.concatenate([c[:, sl] for c in cols_r2], axis=1)
+            xi = xi_t[off:off + ti2]
+            yi = yi_t[off:off + ti2]
+            zi = zi_t[off:off + ti2]
+            u = u_t[off:off + ti2]
+
+            dx = xj - xi
+            dy = yj - yi
+            dz = zj - zi
+            if wrap:
+                dx = dx - jnp.round(dx * inv_w) * w
+                dy = dy - jnp.round(dy * inv_w) * w
+                dz = dz - jnp.round(dz * inv_w) * w
+            d2 = dx * dx + dy * dy + dz * dz
+            in_r = d2 < r2row
+            coef = jnp.dot(u, vt, preferred_element_type=jnp.float32)
+            if law == "particle_life":
+                safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
+                sca = _scale(law, safe, coef, pf_ref, None, use_rsqrt)
+            elif law == "gravity":
+                # d2 > 0 guards softening == 0 (NaN poisoning); see
+                # pallas_allpairs
+                valid = jnp.logical_and(d2 > 0.0, in_r)
+                safe = jnp.where(valid, d2, 1.0)
+                sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
+            else:
+                valid = jnp.logical_and(d2 > 0.0, in_r)
+                safe = jnp.where(valid, d2, 1.0)
+                sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
+            accs.append(jnp.concatenate(
+                [
+                    jnp.sum(dx * sca, axis=1, keepdims=True),
+                    jnp.sum(dy * sca, axis=1, keepdims=True),
+                    jnp.sum(dz * sca, axis=1, keepdims=True),
+                ],
+                axis=1,
+            ))
+        out_ref[0, rec, :] = accs[0] if nsub == 1 else jnp.concatenate(accs, 0)
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
@@ -142,12 +166,31 @@ def _pick_zr(nsc: int, cap: int, require_aligned: bool = False) -> int:
     return 1
 
 
+def _pick_zr2(zr: int, cap: int) -> int:
+    """Sub-chunk height (supercells) minimizing estimated VPU cost per pass:
+    nsub * (padded lane-blocks of the [ti2, 9*swl] pair tile + a fixed
+    per-sub overhead for the slicing/concat/reduction scaffolding). The
+    fixed term (~14 block-equivalents) is fitted to v5e measurements at
+    nsc=40, cap=16 (zr2=8/4/2/1 -> 23.4/17.8/15.5/20.1 ms per 262k sweep;
+    the model reproduces the zr2=2 optimum and the 1.5x zr2=8 ratio).
+    Receiver rows must stay 8-sublane aligned for the static value slices."""
+    best, best_cost = zr, None
+    for z2 in range(1, zr + 1):
+        if zr % z2 or (z2 * cap) % 8:
+            continue
+        blocks = (-(-(z2 * cap) // 8)) * (-(-(9 * (z2 + 2) * cap) // 128))
+        cost = (zr // z2) * (blocks + 14)
+        if best_cost is None or cost <= best_cost:
+            best, best_cost = z2, cost
+    return best
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("law", "wrap", "nsc", "cap", "interpret", "halo"),
+    static_argnames=("law", "wrap", "nsc", "cap", "interpret", "halo", "zr2"),
 )
 def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
-          interpret, halo: bool = False):
+          interpret, halo: bool = False, zr2: int | None = None):
     """halo=True: receiver columns are a contiguous x-slab and the SOURCE
     arrays carry one extra x-plane of halo columns at each end (domain
     decomposition, parallel/domain_sharded.py) — the x neighbor index is
@@ -158,6 +201,8 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     g = (nsc + 2) * cap
     p = u_d.shape[2]
     zr = _pick_zr(nsc, cap, require_aligned=not interpret)
+    if zr2 is None or zr2 > zr or zr % zr2 or (zr2 * cap) % 8:
+        zr2 = _pick_zr2(zr, cap)
 
     def rec_map(c):
         return (c, 0, 0)
@@ -203,7 +248,7 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, law=law, wrap=wrap, nsc=nsc, cap=cap, zr=zr,
+            _kernel, law=law, wrap=wrap, nsc=nsc, cap=cap, zr=zr, zr2=zr2,
             use_rsqrt=not interpret,
         ),
         grid=(ncol,),
