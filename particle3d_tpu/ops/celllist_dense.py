@@ -248,15 +248,25 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
         can, tgt_safe * cap + free_order[tgt_safe, rank_safe], s_total)
     src = jnp.where(can, jnp.minimum(idx_m, s_total - 1), s_total)
 
-    # -- apply the moves: one gather + two scatters per packed array ---------
-    def move(a, empty):
+    # -- apply the moves (row ops cost ~0.1 us/row on TPU, so every elided
+    # one matters). The DATA rows of vacated slots are left STALE on
+    # purpose: a vacated slot is dead through pid=-1 (not free-list eligible
+    # until ~occupied, not a force source via r2=-1, receiver output masked
+    # at the kick), its finite garbage integrates as an inert ghost exactly
+    # like build_dense's zero rows, and any new occupant overwrites the full
+    # row — so the full-row src-clear scatter is pure cost (dst and src are
+    # disjoint: free slots are currently-empty only). Folding pid into the
+    # packed row was measured SLOWER (the narrow per-column vacate scatter
+    # lowers worse than the separate 1-D pid ops): keep pid separate.
+    def move(a, empty, clear_src):
         vals = a[jnp.minimum(src, s_total - 1)]
-        a = a.at[src].set(jnp.broadcast_to(
-            jnp.asarray(empty, a.dtype), vals.shape), mode="drop")
+        if clear_src:
+            a = a.at[src].set(jnp.broadcast_to(
+                jnp.asarray(empty, a.dtype), vals.shape), mode="drop")
         return a.at[dst].set(vals, mode="drop")
 
-    data = move(ds.data, 0.0)
-    pid = move(ds.pid, -1)
+    data = move(ds.data, 0.0, clear_src=False)
+    pid = move(ds.pid, -1, clear_src=True)
     # r2 from scratch, elementwise: live gate iff the slot is occupied AND
     # its occupant's cell matches the slot's cell. This uniformly covers
     # placed movers, stayers, capacity-overflow and beyond-mcap movers
