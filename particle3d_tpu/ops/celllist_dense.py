@@ -210,24 +210,10 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     moved = jnp.logical_and(occupied, sid_new != cell_of_slot)
     n_movers = jnp.sum(moved.astype(jnp.int32))
 
-    # -- extract + sort movers by target cell --------------------------------
+    # -- extract movers ------------------------------------------------------
     # bit-exact jnp.nonzero replacement with a lane-parallel rank scan —
     # measured 8.1 -> 4.3 ms at S=1M on a v5e (examples/probe_rebind_costs.py)
-    idx_m = masked_indices(moved, mcap, fill_value=s_total)
-    valid_m = idx_m < s_total
-    idx_safe = jnp.minimum(idx_m, s_total - 1)
-    tgt = jnp.where(valid_m, sid_new[idx_safe], k_cells)
-    order = jnp.argsort(tgt)
-    idx_m = idx_m[order]
-    tgt = tgt[order]
-    valid_m = valid_m[order]
-    # arrival rank within the target cell: distance to the segment start
-    iota = jnp.arange(mcap, dtype=jnp.int32)
-    seg_start = jnp.concatenate(
-        [jnp.ones((1,), bool), tgt[1:] != tgt[:-1]])
-    rank = iota - jax.lax.cummax(jnp.where(seg_start, iota, 0))
-    # (movers beyond mcap are simply not extracted this step: the alignment
-    # recompute below masks them force-invisible and they retry next step)
+    idx_full = masked_indices(moved, mcap, fill_value=s_total)
 
     # -- free slots per cell --------------------------------------------------
     # Only CURRENTLY-EMPTY slots count as free. Counting mover slots as free
@@ -241,32 +227,70 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     # free-first stable order: column index of the r-th free slot per row
     free_order = jnp.argsort(~free, axis=1, stable=True).astype(jnp.int32)
 
-    tgt_safe = jnp.minimum(tgt, k_cells - 1)
-    can = jnp.logical_and(valid_m, rank < free_count[tgt_safe])
-    rank_safe = jnp.clip(rank, 0, cap - 1)
-    dst = jnp.where(
-        can, tgt_safe * cap + free_order[tgt_safe, rank_safe], s_total)
-    src = jnp.where(can, jnp.minimum(idx_m, s_total - 1), s_total)
+    def pipeline(idx_m):
+        """Sort movers by target cell, rank them, assign free slots, move
+        the rows. The mover-sized ops (argsort + row gather/scatters at
+        ~0.1 us/row) dominate rebind, so the static size of ``idx_m`` is
+        the cost driver — see the lax.cond below."""
+        m = idx_m.shape[0]
+        valid_m = idx_m < s_total
+        idx_safe = jnp.minimum(idx_m, s_total - 1)
+        tgt = jnp.where(valid_m, sid_new[idx_safe], k_cells)
+        order = jnp.argsort(tgt)
+        idx_s = idx_m[order]
+        tgt = tgt[order]
+        valid_s = valid_m[order]
+        # arrival rank within the target cell: distance to the segment start
+        iota = jnp.arange(m, dtype=jnp.int32)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), tgt[1:] != tgt[:-1]])
+        rank = iota - jax.lax.cummax(jnp.where(seg_start, iota, 0))
+        # (movers beyond the extraction size are simply not moved this step:
+        # the alignment recompute below masks them force-invisible and they
+        # retry next step)
 
-    # -- apply the moves (row ops cost ~0.1 us/row on TPU, so every elided
-    # one matters). The DATA rows of vacated slots are left STALE on
-    # purpose: a vacated slot is dead through pid=-1 (not free-list eligible
-    # until ~occupied, not a force source via r2=-1, receiver output masked
-    # at the kick), its finite garbage integrates as an inert ghost exactly
-    # like build_dense's zero rows, and any new occupant overwrites the full
-    # row — so the full-row src-clear scatter is pure cost (dst and src are
-    # disjoint: free slots are currently-empty only). Folding pid into the
-    # packed row was measured SLOWER (the narrow per-column vacate scatter
-    # lowers worse than the separate 1-D pid ops): keep pid separate.
-    def move(a, empty, clear_src):
-        vals = a[jnp.minimum(src, s_total - 1)]
-        if clear_src:
-            a = a.at[src].set(jnp.broadcast_to(
-                jnp.asarray(empty, a.dtype), vals.shape), mode="drop")
-        return a.at[dst].set(vals, mode="drop")
+        tgt_safe = jnp.minimum(tgt, k_cells - 1)
+        can = jnp.logical_and(valid_s, rank < free_count[tgt_safe])
+        rank_safe = jnp.clip(rank, 0, cap - 1)
+        dst = jnp.where(
+            can, tgt_safe * cap + free_order[tgt_safe, rank_safe], s_total)
+        src = jnp.where(can, jnp.minimum(idx_s, s_total - 1), s_total)
 
-    data = move(ds.data, 0.0, clear_src=False)
-    pid = move(ds.pid, -1, clear_src=True)
+        # -- apply the moves (row ops cost ~0.1 us/row on TPU, so every
+        # elided one matters). The DATA rows of vacated slots are left STALE
+        # on purpose: a vacated slot is dead through pid=-1 (not free-list
+        # eligible until ~occupied, not a force source via r2=-1, receiver
+        # output masked at the kick), its finite garbage integrates as an
+        # inert ghost exactly like build_dense's zero rows, and any new
+        # occupant overwrites the full row — so the full-row src-clear
+        # scatter is pure cost (dst and src are disjoint: free slots are
+        # currently-empty only). Folding pid into the packed row was
+        # measured SLOWER (the narrow per-column vacate scatter lowers worse
+        # than the separate 1-D pid ops): keep pid separate.
+        def move(a, empty, clear_src):
+            vals = a[jnp.minimum(src, s_total - 1)]
+            if clear_src:
+                a = a.at[src].set(jnp.broadcast_to(
+                    jnp.asarray(empty, a.dtype), vals.shape), mode="drop")
+            return a.at[dst].set(vals, mode="drop")
+
+        return (move(ds.data, 0.0, clear_src=False),
+                move(ds.pid, -1, clear_src=True))
+
+    # Bounded-work fast path: most steps move far fewer than mcap slots, and
+    # the mover-sized ops are priced by their STATIC size. When this step's
+    # movers fit in mcap/2 (idx_full is ascending, so its prefix holds ALL
+    # of them), run the half-size pipeline; the full-size branch only pays
+    # on burst steps. Both branches are compiled once; the choice is a
+    # runtime scalar — results are identical to always running full size.
+    half = mcap // 2
+    if half >= 1024:
+        data, pid = jax.lax.cond(
+            n_movers <= half,
+            lambda: pipeline(idx_full[:half]),
+            lambda: pipeline(idx_full))
+    else:
+        data, pid = pipeline(idx_full)
     # r2 from scratch, elementwise: live gate iff the slot is occupied AND
     # its occupant's cell matches the slot's cell. This uniformly covers
     # placed movers, stayers, capacity-overflow and beyond-mcap movers

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
 from . import forces as F
-from .pallas_allpairs import PAIR_P, _scale, pack_params, _r2_gate, _use_interpret
+from .pallas_allpairs import (
+    PAIR_P, _PF_INV_W, _scale, pack_params, _r2_gate, _use_interpret)
 
 _OFFSETS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
@@ -99,11 +100,23 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
             dy = yj - yi
             dz = zj - zi
             if wrap:
-                dx = dx - jnp.round(dx * inv_w) * w
-                dy = dy - jnp.round(dy * inv_w) * w
-                dz = dz - jnp.round(dz * inv_w) * w
+                # positions arrive PRE-SCALED by 1/w (and r2row by 1/w^2,
+                # see _call): the minimum image is dx - round(dx) — 2 VPU
+                # passes per component instead of 4 — one d2 rescale
+                # returns to world units for the law, and the deltas'
+                # missing w factor is applied to the reduced [TI2, 3]
+                # accumulator (cheap) instead of per pair. Self-pair deltas
+                # stay exactly zero: xi and xj read the same pre-scaled
+                # value from materialized buffers (the scale is NOT fused
+                # into the in-kernel subtraction, unlike the all-pairs
+                # kernel's pitfall).
+                dx = dx - jnp.round(dx)
+                dy = dy - jnp.round(dy)
+                dz = dz - jnp.round(dz)
             d2 = dx * dx + dy * dy + dz * dz
             in_r = d2 < r2row
+            if wrap:
+                d2 = d2 * (w * w)
             coef = jnp.dot(u, vt, preferred_element_type=jnp.float32)
             if law == "particle_life":
                 safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
@@ -118,14 +131,15 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
                 valid = jnp.logical_and(d2 > 0.0, in_r)
                 safe = jnp.where(valid, d2, 1.0)
                 sca = _scale(law, safe, coef, pf_ref, valid, use_rsqrt)
-            accs.append(jnp.concatenate(
+            acc = jnp.concatenate(
                 [
                     jnp.sum(dx * sca, axis=1, keepdims=True),
                     jnp.sum(dy * sca, axis=1, keepdims=True),
                     jnp.sum(dz * sca, axis=1, keepdims=True),
                 ],
                 axis=1,
-            ))
+            )
+            accs.append(acc * w if wrap else acc)
         out_ref[0, rec, :] = accs[0] if nsub == 1 else jnp.concatenate(accs, 0)
         return 0
 
@@ -203,6 +217,15 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     zr = _pick_zr(nsc, cap, require_aligned=not interpret)
     if zr2 is None or zr2 > zr or zr % zr2 or (zr2 * cap) % 8:
         zr2 = _pick_zr2(zr, cap)
+    if wrap:
+        # scaled-coordinate wrap (see _kernel): pre-scale positions to box
+        # units and the r2 gate row to match (negative mask entries keep
+        # their sign). These are thin elementwise passes over the column
+        # arrays, repaid ~5x in per-pair VPU passes inside the kernel.
+        inv_w = params_f[_PF_INV_W]
+        pos_d = pos_d * inv_w
+        post_g = post_g * inv_w
+        r2_g = r2_g * (inv_w * inv_w)
 
     def rec_map(c):
         return (c, 0, 0)
