@@ -17,9 +17,11 @@ every step:
      elements, not N) and rank them per cell (cummax segment rank),
   4. assign each mover the r-th free slot of its target cell (free-slot
      order via a tiny per-row argsort over ``cap`` columns),
-  5. move the mover rows with ONE gather + two scatters on a packed
+  5. move the mover rows with ONE gather + ONE scatter on a packed
      [S, 25] state matrix (pos|vel|acc|U|V share one row per slot — TPU
-     scatters pay per row, so packing beats five per-array moves ~5x).
+     scatters pay per row, so packing beats five per-array moves ~5x;
+     vacated rows are left stale, see ``rebind``), with a half-size
+     fast path when the step's movers fit in mcap/2.
 
 The layout is exactly fresh after every step — the same guarantee as a full
 rebuild, so this path needs no drift budget (verified bit-exact against the
