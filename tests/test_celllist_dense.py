@@ -212,3 +212,38 @@ def test_app_mode_alternation_no_stale_layout():
     np.testing.assert_allclose(np.asarray(app.state.positions),
                                np.asarray(ref.positions),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mover_fast_path_branches_agree():
+    """The half-size mover pipeline (taken when movers <= mcap/2) must be
+    bit-identical to the full-size pipeline on the same state."""
+    cfg = _cfg(cell_capacity=8)
+    st = init_scene(jax.random.PRNGKey(21), 3000, cfg)
+    ds = build_dense(st, cfg, 8, 8)
+    key = jax.random.PRNGKey(22)
+    kick = jax.random.uniform(key, ds.data[:, 0:3].shape,
+                              minval=-1.2, maxval=1.2)
+    pos = ds.data[:, 0:3] + kick * (ds.pid >= 0)[:, None]
+    pos = pos - 16.0 * jnp.floor(pos / 16.0 + 0.5)
+    ds = ds.replace(data=ds.data.at[:, 0:3].set(pos))
+    # mcap=8192 -> half=4096 >= movers (~1800): small branch
+    a, n_mov_a, _ = rebind(ds, cfg, 8, 8, 8192)
+    # mcap=2048 -> half=1024 < movers: big branch, same extracted prefix
+    b, n_mov_b, _ = rebind(ds, cfg, 8, 8, 2048)
+    assert int(n_mov_a) == int(n_mov_b)
+    assert 1024 < int(n_mov_a) <= 2048  # big branch taken, nothing truncated
+    np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+    np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
+
+
+def test_stale_vacated_rows_never_read_back():
+    """Vacated slots keep stale data rows by design; they must never leak
+    into particle-order state or forces (pid/r2 make them dead)."""
+    cfg = _cfg()
+    st = init_scene(jax.random.PRNGKey(23), 400, cfg)
+    dt = jnp.float32(1 / 30)
+    out, _ = simulate_dense(st, cfg, dt, 8)
+    ref = simulate(st, cfg, dt, 8)
+    np.testing.assert_array_equal(np.asarray(out.positions),
+                                  np.asarray(ref.positions))
+    assert bool(np.isfinite(np.asarray(out.velocities)).all())

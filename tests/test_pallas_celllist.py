@@ -115,3 +115,42 @@ def test_cadenced_rebuild_matches_per_step():
     assert float(drift) < float(drift_budget(cfgp, 8))
     np.testing.assert_allclose(
         np.asarray(a.positions), np.asarray(b.positions), atol=1e-6)
+
+
+def test_pick_zr2_properties():
+    """zr2 must divide zr, keep receiver rows 8-sublane aligned, and match
+    the measured optimum for the production geometry (zr=8, cap=16 -> 2)."""
+    from particle3d_tpu.ops.pallas_celllist import _pick_zr, _pick_zr2
+
+    assert _pick_zr2(8, 16) == 2
+    for nsc, cap in ((8, 32), (16, 16), (40, 16), (64, 16), (12, 8)):
+        zr = _pick_zr(nsc, cap)
+        zr2 = _pick_zr2(zr, cap)
+        assert 1 <= zr2 <= zr and zr % zr2 == 0
+        assert (zr2 * cap) % 8 == 0
+
+
+@pytest.mark.parametrize("zr2", [1, 2, 4])
+def test_sub_chunked_kernel_matches_occupied(zr2):
+    """Every z sub-chunk size gives the same forces on OCCUPIED slots (the
+    phantom/empty-slot rows are garbage by design and must be masked in any
+    cross-implementation comparison)."""
+    from particle3d_tpu.ops.pallas_celllist import prepare_columns, _call
+    from particle3d_tpu.ops.pallas_allpairs import pack_params
+    from particle3d_tpu.ops import forces as F
+
+    nsc, cap = 8, 16
+    cfg = reference_config(world_size=16.0).replace(
+        neighbor="celllist_pallas", cell_grid=nsc, cell_capacity=cap)
+    st = _scene(11, 2048, cfg)
+    u, v = F.pair_features(st, cfg, pad_p=8)
+    pos_d, u_d, post_g, vt_g, r2_g, sp = prepare_columns(
+        st.positions, u, v, cfg, nsc, cap)
+    pf = pack_params(cfg)
+    occ = np.asarray(sp) >= 0
+    ref = np.asarray(_call(pos_d, u_d, post_g, vt_g, r2_g, pf,
+                           cfg.force_law, True, nsc, cap, True, zr2=None))
+    out = np.asarray(_call(pos_d, u_d, post_g, vt_g, r2_g, pf,
+                           cfg.force_law, True, nsc, cap, True, zr2=zr2))
+    scale = max(1e-9, float(np.max(np.abs(ref[occ]))))
+    assert float(np.max(np.abs(out[occ] - ref[occ]))) / scale < 1e-5
