@@ -21,12 +21,15 @@ import time
 
 def _simulate_best(state, cfg, dt, steps):
     """simulate(), routed through the fast exact dense-layout path for the
-    cell-list backend (identical results, ~2.5x faster at 262k)."""
+    cell-list backend — with capacity escalation, so clustering scenes
+    (whose cells outgrow any initial capacity) stay exact over long runs."""
     if (cfg.neighbor == "celllist_pallas" and cfg.cell_grid is not None
             and cfg.cell_capacity is not None):
-        from .engine.step import simulate_dense
+        from .engine.step import simulate_dense_adaptive
 
-        out, _ = simulate_dense(state, cfg, dt, steps)
+        out, cap, _ = simulate_dense_adaptive(
+            state, cfg, dt, steps,
+            verbose=lambda m: print(m, file=sys.stderr))
         return out
     from .engine.step import simulate
 
@@ -167,6 +170,23 @@ def _cmd_presets(a):
         print(p)
 
 
+def _cmd_tune(a):
+    import jax
+    import jax.numpy as jnp
+
+    from .models import make_scene
+    from .utils.tune import tune
+
+    state, cfg, dt = make_scene(a.preset, jax.random.PRNGKey(a.seed), n=a.n)
+    results = tune(state, cfg, jnp.float32(dt), steps=a.steps)
+    best = results[0]
+    print(json.dumps({
+        "preset": a.preset, "n": state.n,
+        "best": best.as_dict(),
+        "results": [r.as_dict() for r in results],
+    }))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="particle3d_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +239,15 @@ def main(argv=None):
 
     ls = sub.add_parser("presets", help="list scene presets")
     ls.set_defaults(fn=_cmd_presets)
+
+    t = sub.add_parser(
+        "tune", help="autotune cell geometry on the live backend")
+    t.add_argument("--preset", default="particle_life_large")
+    t.add_argument("--n", type=int, default=None)
+    t.add_argument("--steps", type=int, default=8,
+                   help="steps per timing window")
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=_cmd_tune)
 
     a = p.parse_args(argv)
     a.fn(a)

@@ -62,6 +62,16 @@ class SimulationApp:
         # changes particles, features or cell geometry
         self._dense = None
         self._dense_geom = None
+        # sticky capacity escalation: clustering scenes overflow any cap
+        # picked from the uniform init (see simulate_dense_adaptive); the
+        # app rewinds a masked batch and re-runs it at the next feasible
+        # capacity, then stays there
+        self._cap_escalated: int | None = None
+        self.max_cap = 512
+        # set when the escalation ladder ends (VMEM/alignment/max_cap)
+        # while cells still overflow: subsequent batches run the capacity-
+        # free brute-force backend — exact, slower, honest
+        self._cell_fallback = False
 
     def _invalidate_dense(self) -> None:
         self._dense = None
@@ -115,6 +125,27 @@ class SimulationApp:
             cap = default_capacity(self.state.n, nsc, slack=2.5)
         return nsc, cap
 
+    def _capacity_overflow(self, nsc: int, cap: int) -> int:
+        """Particles beyond ``cap`` in their cell for the CURRENT state —
+        the exact count a layout build at this state would fail to place."""
+        from ..ops.celllist_dense import bin_sid
+
+        sid = bin_sid(self.state.positions, self.cfg, nsc)
+        occ = jnp.zeros((nsc ** 3,), jnp.int32).at[sid].add(1)
+        return int(jnp.sum(jnp.maximum(occ - cap, 0)))
+
+    def _run_fallback(self, dt, n_steps: int) -> None:
+        """Advance with the capacity-free brute-force backend (exact) —
+        the terminal state of the escalation ladder."""
+        from ..ops.pallas_allpairs import _use_interpret
+
+        nb = "allpairs" if _use_interpret() else "allpairs_pallas"
+        self.state = simulate(
+            self.state, self.cfg.replace(neighbor=nb), dt, n_steps)
+        self._invalidate_dense()
+        jax.block_until_ready(self.state.positions)
+        self.step_index += n_steps
+
     def run_steps(self, n_steps: int) -> None:
         """Run n_steps at the fixed timestep, batched on device.
 
@@ -125,22 +156,94 @@ class SimulationApp:
         incrementally-maintained dense layout (``simulate_dense`` — layout
         fresh every step, no drift condition), the same exactness rule
         bench.py applies.
+
+        Capacity is ESCALATED before the batch whenever the current state
+        already overflows some cell (clustering scenes outgrow any capacity
+        chosen at init — see ``simulate_dense_adaptive``), so both the
+        dense and the cadenced stepping paths stay exact.
         """
         dt = jnp.float32(1.0 / self.update_rate)
         if self.cfg.neighbor == "celllist_pallas":
+            from ..engine.step import next_feasible_cap
+
+            nsc, cap0 = self._cell_geometry()
+            cap_now = max(cap0, self._cap_escalated or 0)
+            while (not self._cell_fallback
+                   and self._capacity_overflow(nsc, cap_now) > 0):
+                if cap_now >= self.max_cap:
+                    self._cell_fallback = True
+                    break
+                nxt = None
+                for target in (max(cap_now + 1, cap_now * 2), cap_now + 1):
+                    try:
+                        nxt = min(next_feasible_cap(nsc, target),
+                                  self.max_cap)
+                        break
+                    except ValueError:
+                        nxt = None
+                if nxt is None or nxt <= cap_now:
+                    self._cell_fallback = True
+                    break
+                cap_now = nxt
+                self._cap_escalated = cap_now
+                self._invalidate_dense()
+            if self._cell_fallback:
+                self._run_fallback(dt, n_steps)
+                return
             budget = self.drift_budget()
-            if budget <= 0.0 or self._per_step_rebuild or n_steps == 1:
-                from ..engine.step import simulate_dense_carry
+            # preemptive drift guard: if current speeds could plausibly
+            # blow the cadence budget within this window (2x safety), use
+            # the per-step-fresh dense path instead of finding out after an
+            # already-committed approximate window (the post-hoc drift
+            # check below remains the hard detector)
+            vmax = float(jnp.sqrt(jnp.max(
+                jnp.sum(self.state.velocities ** 2, axis=-1))))
+            est_drift = 2.0 * vmax * float(dt) * n_steps
+            if (budget <= 0.0 or self._per_step_rebuild or n_steps == 1
+                    or est_drift > budget):
+                from ..engine.step import (
+                    simulate_dense_carry, next_feasible_cap)
                 from ..ops.celllist_dense import (
                     build_dense, scatter_back, default_mover_capacity)
 
                 nsc, cap = self._cell_geometry()
-                if self._dense is None or self._dense_geom != (nsc, cap):
-                    self._dense = build_dense(self.state, self.cfg, nsc, cap)
-                    self._dense_geom = (nsc, cap)
-                self._dense, (mov, mis) = simulate_dense_carry(
-                    self._dense, self.cfg, dt, n_steps, nsc, cap,
-                    default_mover_capacity(self.state.n))
+                if self._cap_escalated:
+                    cap = max(cap, self._cap_escalated)
+                while True:
+                    if self._dense is None or self._dense_geom != (nsc, cap):
+                        self._dense = build_dense(self.state, self.cfg,
+                                                  nsc, cap)
+                        self._dense_geom = (nsc, cap)
+                    new_dense, (mov, mis) = simulate_dense_carry(
+                        self._dense, self.cfg, dt, n_steps, nsc, cap,
+                        default_mover_capacity(self.state.n))
+                    if int(mis) > 0 and cap < self.max_cap:
+                        # rewind the batch (self.state is still pre-batch)
+                        # and re-run at the next feasible capacity; if the
+                        # ladder ends, the NEXT batch's preemptive check
+                        # routes to the brute-force fallback
+                        nxt = None
+                        for target in (max(cap + 1, cap * 2), cap + 1):
+                            try:
+                                nxt = min(next_feasible_cap(nsc, target),
+                                          self.max_cap)
+                                break
+                            except ValueError:
+                                nxt = None
+                        if nxt is None or nxt <= cap:
+                            self._cell_fallback = True
+                            break
+                        cap = nxt
+                        self._cap_escalated = cap
+                        self._dense = None
+                        continue
+                    break
+                if self._cell_fallback:
+                    # the masked batch was never committed (self.state is
+                    # still pre-batch): re-run it brute-force
+                    self._run_fallback(dt, n_steps)
+                    return
+                self._dense = new_dense
                 self.state = scatter_back(self._dense, self.state)
                 self.capacity_masked = max(self.capacity_masked, int(mis))
             else:
@@ -285,6 +388,9 @@ class SimulationApp:
                 drift_budget=self.drift_budget(),
                 per_step_rebuild=self._per_step_rebuild,
                 capacity_masked=self.capacity_masked,
+                cell_capacity=(self._cap_escalated
+                               or self._cell_geometry()[1]),
+                cell_fallback=self._cell_fallback,
             )
         return m
 

@@ -180,6 +180,36 @@ def _pick_zr(nsc: int, cap: int, require_aligned: bool = False) -> int:
     return 1
 
 
+def kernel_vmem_bytes(nsc: int, cap: int) -> int:
+    """Estimated resident VMEM of one grid step of the column kernel.
+
+    27 ghosted source blocks (rows pad to 8 sublanes) + receiver pos/u and
+    the output block (3/8 lanes pad to 128), times a pipelining factor
+    calibrated on the v5e's scoped-vmem OOM report: (nsc=40, cap=128)
+    measured 19.43 MB; cap=64 compiles. Used to gate capacity escalation
+    BEFORE Mosaic hits the hard 16 MB scoped limit."""
+    g = (nsc + 2) * cap
+    cs = nsc * cap
+    return int(1.6 * (27 * 8 * g * 4 + 3 * 128 * cs * 4))
+
+
+_VMEM_BUDGET = 15_000_000
+
+
+def max_feasible_cap(nsc: int) -> int:
+    """Largest aligned capacity whose kernel fits the scoped-VMEM budget."""
+    best = 0
+    for cap in range(1, 4096):
+        if kernel_vmem_bytes(nsc, cap) > _VMEM_BUDGET:
+            break
+        try:
+            _pick_zr(nsc, cap, require_aligned=True)
+            best = cap
+        except ValueError:
+            continue
+    return best
+
+
 def _pick_zr2(zr: int, cap: int) -> int:
     """Sub-chunk height (supercells) minimizing estimated VPU cost per pass:
     nsub * (padded lane-blocks of the [ti2, 9*swl] pair tile + a fixed

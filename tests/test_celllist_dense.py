@@ -247,3 +247,88 @@ def test_stale_vacated_rows_never_read_back():
     np.testing.assert_array_equal(np.asarray(out.positions),
                                   np.asarray(ref.positions))
     assert bool(np.isfinite(np.asarray(out.velocities)).all())
+
+
+def test_build_drop_counts_as_masked():
+    """Particles the initial build cannot place (cell over capacity at
+    window start) must surface in the masked diagnostic — a silently
+    frozen particle must never read as an exact window."""
+    cfg = _cfg(cell_capacity=2)
+    st = init_scene(jax.random.PRNGKey(30), 64, cfg)
+    # cram 8 particles into one cell: 6 must be reported
+    pos = np.asarray(st.positions).copy()
+    pos[:8] = np.array([1.1, 1.1, 1.1], np.float32) + \
+        np.arange(8, dtype=np.float32)[:, None] * 1e-3
+    st = st.replace(positions=jnp.asarray(pos))
+    _, (_, mis) = simulate_dense(st, cfg, jnp.float32(1 / 60), 1)
+    assert int(mis) >= 6
+
+
+def test_adaptive_escalation_recovers_exactness():
+    """A clustering scene overflows a small capacity; the adaptive driver
+    must rewind, escalate, and end with a mask-free (exact) trajectory that
+    matches the dense all-pairs reference."""
+    from particle3d_tpu.engine.step import simulate_dense_adaptive
+
+    # single species, strong self-attraction: collapses into blobs
+    cfg = _cfg(cell_capacity=2).replace(
+        interaction_force=4.0,
+        attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
+    st = init_scene(jax.random.PRNGKey(31), 600, cfg)
+    dt = jnp.float32(1 / 30)
+    out, cap, hist = simulate_dense_adaptive(st, cfg, dt, 40, chunk=10)
+    assert cap > 2  # escalated
+    assert all(masked == 0 for _, _, masked in hist)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 40)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_app_escalates_capacity_on_clustered_batch():
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = _cfg(cell_capacity=2).replace(
+        interaction_force=4.0,
+        attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
+    st = init_scene(jax.random.PRNGKey(32), 600, cfg)
+    app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    for _ in range(40):
+        app.run_steps(1)  # dense branch: exact, escalates on overflow
+    m = app.metrics()
+    assert m["cell_capacity"] > 2
+    ref = simulate(st, cfg.replace(neighbor="allpairs"),
+                   jnp.float32(1 / 30), 40)
+    np.testing.assert_allclose(np.asarray(app.state.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_vmem_gate_and_feasible_caps():
+    from particle3d_tpu.ops.pallas_celllist import (
+        kernel_vmem_bytes, max_feasible_cap, _VMEM_BUDGET)
+
+    # calibration anchors: (40,128) OOMed a 16MB v5e at 19.43MB; (40,64) ran
+    assert kernel_vmem_bytes(40, 128) > _VMEM_BUDGET
+    assert kernel_vmem_bytes(40, 64) < _VMEM_BUDGET
+    assert kernel_vmem_bytes(40, 64) < kernel_vmem_bytes(40, 128)
+    mf = max_feasible_cap(40)
+    assert 64 <= mf < 128
+
+
+def test_adaptive_falls_back_to_allpairs_when_ladder_ends():
+    from particle3d_tpu.engine.step import simulate_dense_adaptive
+
+    cfg = _cfg(cell_capacity=2).replace(
+        interaction_force=4.0,
+        attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
+    st = init_scene(jax.random.PRNGKey(33), 600, cfg)
+    dt = jnp.float32(1 / 30)
+    out, cap, hist = simulate_dense_adaptive(st, cfg, dt, 40, chunk=10,
+                                             max_cap=3)
+    assert any(c == "allpairs" for _, c, _ in hist)
+    assert all(masked == 0 for _, _, masked in hist)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 40)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
