@@ -36,14 +36,17 @@ def _reference_walls(key, n: int | None = None):
 
 
 def _particle_life_large(key, n: int | None = None):
-    """Large-N particle life: Pallas column-sweep cell list (the effective
-    cutoff is min(radius, 1.0) = 1.0 — reference quirk Q2 — so a 40^3
-    supercell grid of width 1.0 covers it)."""
+    """Large-N particle life: Pallas column-sweep cell list. The effective
+    cutoff is min(radius, 1.0) = 1.0 (reference quirk Q2); the autotuner
+    (``python -m particle3d_tpu tune``) picks a COARSER 28^3 grid (cell
+    width 1.43) over the minimal 40^3: double the per-cell occupancy means
+    half the padded slots, and the measured step is 42 -> 53 steps/s on a
+    v5e with zero capacity masking in the uniform phase."""
     n = 262144 if n is None else n
     if n >= 32768:
         cfg = reference_config(world_size=40.0).replace(
-            neighbor="celllist_pallas", cell_grid=40,
-            cell_capacity=16)
+            neighbor="celllist_pallas", cell_grid=28,
+            cell_capacity=32)
     else:
         cfg = reference_config(world_size=40.0).replace(neighbor="allpairs_pallas")
     return init_scene(key, n, cfg), cfg, 1.0 / 60.0
@@ -51,11 +54,13 @@ def _particle_life_large(key, n: int | None = None):
 
 def _particle_life_1m(key, n: int | None = None):
     """Million-particle particle life on the exact production path
-    (incremental dense cell layout; measured 3.7 steps/s on one v5e —
-    docs/PERF.md)."""
+    (incremental dense cell layout). Tuned geometry: a coarser 44^3 grid
+    (width 1.45) beats the minimal 64^3 for the same reason as the 262k
+    preset — fewer padded slots; measured 12.9 steps/s on one v5e with no
+    masking (docs/PERF.md)."""
     n = 1_048_576 if n is None else n
     cfg = reference_config(world_size=64.0).replace(
-        neighbor="celllist_pallas", cell_grid=64, cell_capacity=16)
+        neighbor="celllist_pallas", cell_grid=44, cell_capacity=32)
     return init_scene(key, n, cfg), cfg, 1.0 / 60.0
 
 
