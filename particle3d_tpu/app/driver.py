@@ -139,7 +139,7 @@ class SimulationApp:
         the terminal state of the escalation ladder."""
         from ..ops.pallas_allpairs import _use_interpret
 
-        nb = "allpairs" if _use_interpret() else "allpairs_pallas"
+        nb = "allpairs" if _use_interpret() else "allpairs_culled"
         self.state = simulate(
             self.state, self.cfg.replace(neighbor=nb), dt, n_steps)
         self._invalidate_dense()

@@ -45,6 +45,10 @@ def pair_accel(positions, state: ParticleState, cfg: SimConfig):
         from ..ops.pallas_allpairs import pallas_allpairs_forces
 
         f = pallas_allpairs_forces(positions, u, v, cfg)
+    elif cfg.neighbor == "allpairs_culled":
+        from ..ops.pallas_allpairs import pallas_allpairs_forces_culled
+
+        f = pallas_allpairs_forces_culled(positions, u, v, cfg)
     elif cfg.neighbor == "allpairs_mxu":
         from ..ops.pallas_allpairs_mxu import pallas_allpairs_forces_mxu
 
@@ -310,7 +314,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
         "simulate_dense_adaptive needs cfg.cell_grid / cfg.cell_capacity"
     from ..ops.pallas_allpairs import _use_interpret
 
-    fb_neighbor = "allpairs" if _use_interpret() else "allpairs_pallas"
+    fb_neighbor = "allpairs" if _use_interpret() else "allpairs_culled"
     fallback = False
     done = 0
     history = []

@@ -366,10 +366,47 @@ def pallas_allpairs_forces(
 # for i < nt/2 to avoid double coverage.
 
 
-def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
-                r2row_ref, imask_ref, out_a_ref, out_b_ref,
-                *, law: str, wrap: bool, t: int, nt: int, use_rsqrt: bool):
+def _tri_kernel(pf_ref, *refs,
+                law: str, wrap: bool, t: int, nt: int, use_rsqrt: bool,
+                cull: bool = False):
+    if cull:
+        # bounding-sphere culling: tile pairs whose spheres cannot come
+        # within the cutoff contribute EXACTLY zero (every implemented law
+        # is gated at the radius), so the whole body is skipped. The mask
+        # is bit-packed [nt, ceil(nk/32)] in SMEM; out_b blocks of skipped
+        # steps are zeroed (they are write-once and summed outside).
+        mask_ref = refs[0]
+        refs = refs[1:]
+    (pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
+     r2row_ref, imask_ref, out_a_ref, out_b_ref) = refs
     k = pl.program_id(1)
+    w = pf_ref[0]
+    i = pl.program_id(0)
+    if cull:
+        word = mask_ref[i, k // 32]
+        run = ((word >> (k % 32)) & 1) != 0
+
+        # k == 0 (the self diagonal) is never culled by construction, so
+        # out_a is always initialized at k == 0
+        @pl.when(jnp.logical_and(~run, k > 0))
+        def _():
+            out_b_ref[0] = jnp.zeros_like(out_b_ref[0])
+
+        @pl.when(jnp.logical_or(run, k == 0))
+        def _():
+            _tri_body(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref,
+                      vt_ref, r2row_ref, imask_ref, out_a_ref, out_b_ref,
+                      i, k, law=law, wrap=wrap, t=t, nt=nt,
+                      use_rsqrt=use_rsqrt)
+    else:
+        _tri_body(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref,
+                  vt_ref, r2row_ref, imask_ref, out_a_ref, out_b_ref,
+                  i, k, law=law, wrap=wrap, t=t, nt=nt, use_rsqrt=use_rsqrt)
+
+
+def _tri_body(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
+              r2row_ref, imask_ref, out_a_ref, out_b_ref, i, k,
+              *, law: str, wrap: bool, t: int, nt: int, use_rsqrt: bool):
     w = pf_ref[0]
 
     # In wrap mode positions arrive PRE-SCALED by 1/w (and r2row by 1/w^2):
@@ -428,7 +465,7 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
          jnp.sum(dy * s_ij, axis=1, keepdims=True),
          jnp.sum(dz * s_ij, axis=1, keepdims=True)], axis=1)  # [T, 3]
 
-    half_pair = jnp.logical_and(2 * k == nt, pl.program_id(0) * 2 >= nt)
+    half_pair = jnp.logical_and(2 * k == nt, i * 2 >= nt)
     scale_b = jnp.where(half_pair, 0.0, 1.0)
     if wrap:  # deltas are in scaled units; restore world units (cheap [T,3])
         scale_b = scale_b * w
@@ -460,7 +497,8 @@ def _tri_kernel(pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref, ut_ref, vt_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("law", "wrap", "t", "interpret"))
-def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
+def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret,
+              mask=None):
     n = pos.shape[0]
     np_ = _round_to(n, t)
     nt = np_ // t
@@ -492,21 +530,28 @@ def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
 
     nk = nt // 2 + 1
     grid = (nt, nk)  # k inner: out_a revisits are consecutive (defined)
+    cull = mask is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [params_f]
+    if cull:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(mask)
+    in_specs += [
+        pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, t), by_jt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, p), by_i, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, p), by_i, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, t), by_jt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, t), by_jt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t), by_jt, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, 1), by_i, memory_space=pltpu.VMEM),
+    ]
+    args += [pos_p, pos_t, u_p, v_p, ut, vt, r2row, imask]
     out_a, out_b = pl.pallas_call(
         functools.partial(_tri_kernel, law=law, wrap=wrap, t=t, nt=nt,
-                          use_rsqrt=not interpret),
+                          use_rsqrt=not interpret, cull=cull),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, t), by_jt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, p), by_i, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, p), by_i, memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, t), by_jt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, t), by_jt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), by_jt, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), by_i, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((t, 3), by_i, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, t), by_kj, memory_space=pltpu.VMEM),
@@ -519,7 +564,7 @@ def _tri_call(pos, u, v, params_f, r2_gate, law, wrap, t, interpret):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(params_f, pos_p, pos_t, u_p, v_p, ut, vt, r2row, imask)
+    )(*args)
     return (out_a + jnp.sum(out_b, axis=0).T)[:n]
 
 
@@ -542,3 +587,119 @@ def pallas_allpairs_forces_tri(positions, u, v, cfg: SimConfig, *,
         v = jnp.pad(v, ((0, 0), (0, pad)))
     return _tri_call(positions, u, v, pack_params(cfg), _r2_gate(cfg),
                      cfg.force_law, bool(cfg.wrap_forces), t, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Culled triangular backend: Morton sort + bounding-sphere tile gating
+# ---------------------------------------------------------------------------
+#
+# Every implemented force law is exactly zero beyond its radius gate, so a
+# tile PAIR whose bounding spheres cannot come within the cutoff contributes
+# exactly zero and can skip the entire 38-pass pair computation. With
+# particles sorted along a Morton (Z-order) curve, tiles are spatially
+# compact and most of the nt*(nt/2+1) tile pairs are culled: measured on the
+# v5e at N=262k, T=640, the all-skip grid floor is 17 ms against the dense
+# sweep's ~500 ms — cost scales with the SURVIVING pair fraction, i.e. with
+# the actual interaction structure, not N^2, and with no capacity concept
+# at all. This is the TPU-native answer to tree/Verlet methods for
+# inhomogeneous densities (and the adaptive driver's fallback for scenes
+# whose clusters exceed every feasible cell capacity).
+
+
+def morton_keys(positions, world_size, bits: int = 10):
+    """Z-order key per particle (3 x ``bits`` interleaved, i32)."""
+    w = jnp.asarray(world_size, jnp.float32)
+    scale = jnp.float32(1 << bits)
+    q = jnp.clip(((positions + 0.5 * w) / w * scale).astype(jnp.int32),
+                 0, (1 << bits) - 1)
+
+    def spread(x):  # classic 10-bit 3-D bit spread
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def _pack_bits(mask_bool):
+    """[nt, nk] bool -> [nt, ceil(nk/32)] i32 bit-pack (SMEM-friendly)."""
+    nt, nk = mask_bool.shape
+    nkw = -(-nk // 32)
+    padded = jnp.pad(mask_bool.astype(jnp.uint32),
+                     ((0, 0), (0, nkw * 32 - nk)))
+    bits = padded.reshape(nt, nkw, 32) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits, axis=-1).astype(jnp.int32)
+
+
+def culled_tile_mask(pos_sorted, n: int, t: int, cfg: SimConfig):
+    """(packed mask [nt, nkw], surviving fraction) for Morton-sorted,
+    zero-padded positions of ``_round_to(n, t)`` rows.
+
+    Conservative by construction: per-tile bounds come from the raw
+    coordinate box (half-diagonal radius; a tile spanning the periodic seam
+    gets a huge box and is simply never culled), pair distance uses the
+    minimum image of box centers, and the self diagonal always survives.
+    """
+    np_ = pos_sorted.shape[0]
+    nt = np_ // t
+    nk = nt // 2 + 1
+    w = jnp.asarray(cfg.world_size, jnp.float32)
+    cutoff = jnp.sqrt(_r2_gate(cfg)).astype(jnp.float32)
+
+    valid = (jnp.arange(np_) < n)[:, None]
+    big = jnp.float32(1e30)
+    p3 = pos_sorted.astype(jnp.float32)
+    mins = jnp.min(jnp.where(valid, p3, big).reshape(nt, t, 3), axis=1)
+    maxs = jnp.max(jnp.where(valid, p3, -big).reshape(nt, t, 3), axis=1)
+    centers = 0.5 * (mins + maxs)
+    radii = 0.5 * jnp.sqrt(jnp.sum((maxs - mins) ** 2, axis=-1))
+
+    i = jnp.arange(nt)[:, None]
+    k = jnp.arange(nk)[None, :]
+    j = (i + k) % nt
+    d = centers[i] - centers[j.reshape(-1)].reshape(nt, nk, 3)
+    if cfg.wrap_forces:
+        d = d - jnp.round(d / w) * w
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    run = dist <= radii[i] + radii[j.reshape(-1)].reshape(nt, nk) + cutoff
+    run = run.at[:, 0].set(True)  # self diagonal: never culled
+    frac = jnp.mean(run.astype(jnp.float32))
+    return _pack_bits(run), frac
+
+
+def pallas_allpairs_forces_culled(positions, u, v, cfg: SimConfig, *,
+                                  t: int | None = None,
+                                  interpret: bool | None = None,
+                                  with_stats: bool = False):
+    """Exact forces [N,3] via the Morton-sorted, bounding-sphere-culled
+    triangular kernel. Cost tracks the surviving tile-pair fraction; no
+    cell capacities, no density assumptions — the robust exact backend for
+    clustered/inhomogeneous scenes."""
+    n = positions.shape[0]
+    if interpret is None:
+        interpret = _use_interpret()
+    if t is None:
+        t = 640 if cfg.force_law == "particle_life" else 512
+    t = min(t, max(8, -(-n // 8) * 8))
+    if u.shape[1] < PAIR_P:
+        pad = PAIR_P - u.shape[1]
+        u = jnp.pad(u, ((0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+
+    order = jnp.argsort(morton_keys(positions, cfg.world_size))
+    pos_s = positions[order]
+    u_s = u[order]
+    v_s = v[order]
+
+    np_ = _round_to(n, t)
+    mask, frac = culled_tile_mask(_pad_rows(pos_s.astype(jnp.float32), np_),
+                                  n, t, cfg)
+    f_sorted = _tri_call(pos_s, u_s, v_s, pack_params(cfg), _r2_gate(cfg),
+                         cfg.force_law, bool(cfg.wrap_forces), t, interpret,
+                         mask=mask)
+    out = jnp.zeros_like(f_sorted).at[order].set(f_sorted)
+    if with_stats:
+        return out, frac
+    return out

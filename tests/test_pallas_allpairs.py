@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from particle3d_tpu import SimConfig, reference_config, from_numpy
+from particle3d_tpu import SimConfig, reference_config, from_numpy, init_scene
 from particle3d_tpu.ops import forces as F
 from particle3d_tpu.ops.allpairs import allpairs_forces
 from particle3d_tpu.ops.pallas_allpairs import pallas_allpairs_forces
@@ -185,3 +185,76 @@ def test_many_species_wide_features():
 
     got_t = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg, t=64))
     np.testing.assert_allclose(got_t, want, rtol=3e-4, atol=3e-5)
+
+
+class TestCulledBackend:
+    """Morton-sorted bounding-sphere-culled triangular kernel: must equal
+    the dense triangular sweep exactly wherever culling actually fires."""
+
+    def _cfg(self, **kw):
+        cfg = reference_config(world_size=16.0)
+        return cfg.replace(**kw) if kw else cfg
+
+    def test_matches_tri_uniform(self):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri, pallas_allpairs_forces_culled)
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(40), 2048, cfg)
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, frac = pallas_allpairs_forces_culled(
+            st.positions, u, v, cfg, with_stats=True, t=128)
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - np.asarray(b)))) / scale < 1e-5
+
+    def test_matches_tri_clustered_with_active_culling(self):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri, pallas_allpairs_forces_culled)
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(41), 2048, cfg)
+        pos = np.array(st.positions)
+        pos[:1024] = pos[:1024] * 0.05 + 3.0  # dense blob + diffuse rest
+        st = st.replace(positions=jnp.asarray(pos))
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, frac = pallas_allpairs_forces_culled(
+            st.positions, u, v, cfg, with_stats=True, t=128)
+        assert float(frac) < 1.0  # culling really fired
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - np.asarray(b)))) / scale < 1e-5
+
+    def test_matches_tri_no_wrap(self):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri, pallas_allpairs_forces_culled)
+
+        cfg = self._cfg(wrap_forces=False, boundary="clamp")
+        st = init_scene(jax.random.PRNGKey(42), 1500, cfg)
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, frac = pallas_allpairs_forces_culled(
+            st.positions, u, v, cfg, with_stats=True, t=64)
+        assert float(frac) < 1.0
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - np.asarray(b)))) / scale < 1e-5
+
+    def test_backend_in_step(self):
+        from particle3d_tpu.engine.step import step
+
+        cfg = self._cfg().replace(neighbor="allpairs_culled")
+        st = init_scene(jax.random.PRNGKey(43), 512, cfg)
+        a = step(st, cfg, 1.0 / 60.0)
+        b = step(st, cfg.replace(neighbor="allpairs"), 1.0 / 60.0)
+        np.testing.assert_allclose(np.asarray(a.positions),
+                                   np.asarray(b.positions),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_morton_locality(self):
+        from particle3d_tpu.ops.pallas_allpairs import morton_keys
+
+        pos = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.1, 0.1],
+                           [7.0, 7.0, 7.0]], jnp.float32)
+        k = np.asarray(morton_keys(pos, 16.0))
+        assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
+        assert (k >= 0).all()
