@@ -110,6 +110,25 @@ def main():
             f"all-pairs rel err {rel:.2e}")
         extra["celllist_vs_allpairs_rel_err"] = rel
 
+        # culled all-pairs (the adaptive driver's fallback backend): same
+        # compiled-mode equivalence gate + its measured rate
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_culled)
+
+        f_culled, frac = pallas_allpairs_forces_culled(
+            stc.positions, u, v, cfgc, with_stats=True)
+        relc = float(np.max(np.abs(np.asarray(f_culled) - f_tri))) / scale
+        secq = _timed(lambda: pallas_allpairs_forces_culled(
+            stc.positions, u, v, cfgc), 3)
+        print(f"[bench] culled all-pairs (N={n}): {secq*1e3:.0f} ms/sweep, "
+              f"surviving tile-pair frac {float(frac):.3f}, max rel err "
+              f"vs triangular {relc:.2e}", file=sys.stderr)
+        assert relc < 5e-5, (
+            f"compiled-mode backend mismatch: allpairs_culled vs triangular "
+            f"rel err {relc:.2e}")
+        extra["culled_sweep_ms_N262k"] = secq * 1e3
+        extra["culled_vs_allpairs_rel_err"] = relc
+
     if on_tpu:
         # --- N=4096 steps/sec (reference demo scale, x4) ------------------
         cfg2 = reference_config().replace(neighbor=neighbor)

@@ -314,15 +314,15 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
         "simulate_dense_adaptive needs cfg.cell_grid / cfg.cell_capacity"
     from ..ops.pallas_allpairs import _use_interpret
 
-    fb_neighbor = "allpairs" if _use_interpret() else "allpairs_culled"
+    interp = _use_interpret()
     fallback = False
     done = 0
     history = []
     while done < num_steps:
         k = min(chunk, num_steps - done)
         if fallback:
-            state = simulate(state, cfg.replace(neighbor=fb_neighbor),
-                             dt, k)
+            fb = "allpairs" if interp else "allpairs_culled"
+            state = simulate(state, cfg.replace(neighbor=fb), dt, k)
             done += k
             history.append((k, "allpairs", 0))
             continue
@@ -353,7 +353,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
             if verbose:
                 verbose(f"[adaptive] step {done}: {masked} masked with no "
                         f"feasible larger capacity — rewinding window, "
-                        f"falling back to {fb_neighbor} (exact)")
+                        f"falling back to the culled all-pairs sweep (exact)")
             continue  # rewind: re-run the window brute-force
         state = out
         done += k

@@ -669,6 +669,37 @@ def culled_tile_mask(pos_sorted, n: int, t: int, cfg: SimConfig):
     return _pack_bits(run), frac
 
 
+def _culled_tile_size(n: int, cfg: SimConfig, t: int | None) -> int:
+    if t is None:
+        t = 640 if cfg.force_law == "particle_life" else 512
+    return min(t, max(8, -(-n // 8) * 8))
+
+
+def culled_forces_sorted(pos_s, u_s, v_s, cfg: SimConfig, *,
+                         t: int | None = None,
+                         interpret: bool | None = None):
+    """(forces [N,3], surviving fraction) for ALREADY Morton-sorted inputs.
+    The tile mask is recomputed from the given positions, so a frozen sort
+    order stays EXACT as particles drift (tile bounding boxes simply grow);
+    callers that keep the state sorted across a window avoid the per-step
+    argsort/gather/scatter entirely (engine.step.simulate_culled)."""
+    n = pos_s.shape[0]
+    if interpret is None:
+        interpret = _use_interpret()
+    t = _culled_tile_size(n, cfg, t)
+    if u_s.shape[1] < PAIR_P:
+        pad = PAIR_P - u_s.shape[1]
+        u_s = jnp.pad(u_s, ((0, 0), (0, pad)))
+        v_s = jnp.pad(v_s, ((0, 0), (0, pad)))
+    np_ = _round_to(n, t)
+    mask, frac = culled_tile_mask(_pad_rows(pos_s.astype(jnp.float32), np_),
+                                  n, t, cfg)
+    f = _tri_call(pos_s, u_s, v_s, pack_params(cfg), _r2_gate(cfg),
+                  cfg.force_law, bool(cfg.wrap_forces), t, interpret,
+                  mask=mask)
+    return f, frac
+
+
 def pallas_allpairs_forces_culled(positions, u, v, cfg: SimConfig, *,
                                   t: int | None = None,
                                   interpret: bool | None = None,
@@ -677,28 +708,9 @@ def pallas_allpairs_forces_culled(positions, u, v, cfg: SimConfig, *,
     triangular kernel. Cost tracks the surviving tile-pair fraction; no
     cell capacities, no density assumptions — the robust exact backend for
     clustered/inhomogeneous scenes."""
-    n = positions.shape[0]
-    if interpret is None:
-        interpret = _use_interpret()
-    if t is None:
-        t = 640 if cfg.force_law == "particle_life" else 512
-    t = min(t, max(8, -(-n // 8) * 8))
-    if u.shape[1] < PAIR_P:
-        pad = PAIR_P - u.shape[1]
-        u = jnp.pad(u, ((0, 0), (0, pad)))
-        v = jnp.pad(v, ((0, 0), (0, pad)))
-
     order = jnp.argsort(morton_keys(positions, cfg.world_size))
-    pos_s = positions[order]
-    u_s = u[order]
-    v_s = v[order]
-
-    np_ = _round_to(n, t)
-    mask, frac = culled_tile_mask(_pad_rows(pos_s.astype(jnp.float32), np_),
-                                  n, t, cfg)
-    f_sorted = _tri_call(pos_s, u_s, v_s, pack_params(cfg), _r2_gate(cfg),
-                         cfg.force_law, bool(cfg.wrap_forces), t, interpret,
-                         mask=mask)
+    f_sorted, frac = culled_forces_sorted(
+        positions[order], u[order], v[order], cfg, t=t, interpret=interpret)
     out = jnp.zeros_like(f_sorted).at[order].set(f_sorted)
     if with_stats:
         return out, frac
