@@ -211,13 +211,16 @@ def max_feasible_cap(nsc: int) -> int:
 
 
 def _pick_zr2(zr: int, cap: int) -> int:
-    """Sub-chunk height (supercells) minimizing estimated VPU cost per pass:
-    nsub * (padded lane-blocks of the [ti2, 9*swl] pair tile + a fixed
-    per-sub overhead for the slicing/concat/reduction scaffolding). The
-    fixed term (~14 block-equivalents) is fitted to v5e measurements at
-    nsc=40, cap=16 (zr2=8/4/2/1 -> 23.4/17.8/15.5/20.1 ms per 262k sweep;
-    the model reproduces the zr2=2 optimum and the 1.5x zr2=8 ratio).
-    Receiver rows must stay 8-sublane aligned for the static value slices."""
+    """Sub-chunk height (supercells). zr2=2 measured fastest at BOTH
+    production geometries on the v5e — (zr=8, cap=16): 23.4/17.8/15.5/20.1
+    ms per 262k sweep for zr2=8/4/2/1; (zr=4, cap=32): 17.8/13.5/14.1 for
+    zr2=4/2/1 — and no single-constant block-count model reproduces both
+    orderings (the per-sub overhead does not scale simply). Prefer 2
+    whenever it is a valid divisor with 8-sublane-aligned receiver rows;
+    otherwise fall back to a padded lane-block count with a fitted fixed
+    per-sub term."""
+    if zr % 2 == 0 and (2 * cap) % 8 == 0:
+        return 2
     best, best_cost = zr, None
     for z2 in range(1, zr + 1):
         if zr % z2 or (z2 * cap) % 8:
