@@ -98,7 +98,8 @@ def main():
         jax.block_until_ready(carry[0])
         t0 = time.perf_counter()
         carry, (mov, mask, limbo, lost, shipped) = sharded_dense_steps(
-            carry, cfg, jnp.float32(1 / 60), a.steps, mesh, nsc=nsc, cap=cap)
+            carry, cfg, jnp.float32(1 / 60), a.steps, mesh, nsc=nsc, cap=cap,
+            n=n)
         jax.block_until_ready(carry[0])
         sec = time.perf_counter() - t0
         print(f"slab (stay-sharded): N={n} nsc={nsc} cap={cap} {a.steps} "

@@ -64,7 +64,7 @@ def _cmd_run(a):
         state = warmup(state, cfg)
         meta = {"config": _config_to_jsonable(cfg), "dt": float(dt),
                 "snapshot_every": a.snapshot_every}
-        total = (a.steps // a.snapshot_every) * a.snapshot_every
+        total = a.steps  # remainder windows emit a final partial snapshot
         chunk = a.snapshot_every * 64  # bound device memory for snapshots
         with TrajectoryWriter(a.record, state.n, state.species, meta) as tw:
             done = 0

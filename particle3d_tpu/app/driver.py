@@ -125,15 +125,6 @@ class SimulationApp:
             cap = default_capacity(self.state.n, nsc, slack=2.5)
         return nsc, cap
 
-    def _capacity_overflow(self, nsc: int, cap: int) -> int:
-        """Particles beyond ``cap`` in their cell for the CURRENT state —
-        the exact count a layout build at this state would fail to place."""
-        from ..ops.celllist_dense import bin_sid
-
-        sid = bin_sid(self.state.positions, self.cfg, nsc)
-        occ = jnp.zeros((nsc ** 3,), jnp.int32).at[sid].add(1)
-        return int(jnp.sum(jnp.maximum(occ - cap, 0)))
-
     def _run_fallback(self, dt, n_steps: int) -> None:
         """Advance with the capacity-free brute-force backend (exact) —
         the terminal state of the escalation ladder."""
@@ -146,6 +137,13 @@ class SimulationApp:
         jax.block_until_ready(self.state.positions)
         self.step_index += n_steps
 
+    def _escalate(self, nsc: int, cap: int) -> int | None:
+        """Next feasible capacity rung (<= max_cap), or None when the
+        ladder ends (callers then flip to the brute-force fallback)."""
+        from ..engine.step import escalate_cap
+
+        return escalate_cap(nsc, cap, self.max_cap)
+
     def run_steps(self, n_steps: int) -> None:
         """Run n_steps at the fixed timestep, batched on device.
 
@@ -157,39 +155,24 @@ class SimulationApp:
         fresh every step, no drift condition), the same exactness rule
         bench.py applies.
 
-        Capacity is ESCALATED before the batch whenever the current state
-        already overflows some cell (clustering scenes outgrow any capacity
-        chosen at init — see ``simulate_dense_adaptive``), so both the
-        dense and the cadenced stepping paths stay exact.
+        Capacity escalation is diagnostic-driven with REWIND semantics on
+        both stepping paths (clustering scenes outgrow any capacity chosen
+        at init — see ``simulate_dense_adaptive``): a batch that reports
+        capacity masking (dense path: build drop or rebind ``mis``;
+        cadenced path: layout build drop) is never committed — it re-runs
+        at the next feasible capacity, and when the ladder ends
+        (VMEM/alignment/max_cap) the SAME batch re-runs on the capacity-
+        free brute-force fallback. No committed batch is ever inexact, and
+        no per-tick O(N) pre-probe is needed.
         """
         dt = jnp.float32(1.0 / self.update_rate)
         if self.cfg.neighbor == "celllist_pallas":
-            from ..engine.step import next_feasible_cap
-
-            nsc, cap0 = self._cell_geometry()
-            cap_now = max(cap0, self._cap_escalated or 0)
-            while (not self._cell_fallback
-                   and self._capacity_overflow(nsc, cap_now) > 0):
-                if cap_now >= self.max_cap:
-                    self._cell_fallback = True
-                    break
-                nxt = None
-                for target in (max(cap_now + 1, cap_now * 2), cap_now + 1):
-                    try:
-                        nxt = min(next_feasible_cap(nsc, target),
-                                  self.max_cap)
-                        break
-                    except ValueError:
-                        nxt = None
-                if nxt is None or nxt <= cap_now:
-                    self._cell_fallback = True
-                    break
-                cap_now = nxt
-                self._cap_escalated = cap_now
-                self._invalidate_dense()
             if self._cell_fallback:
                 self._run_fallback(dt, n_steps)
                 return
+            nsc, cap = self._cell_geometry()
+            if self._cap_escalated:
+                cap = max(cap, self._cap_escalated)
             budget = self.drift_budget()
             # preemptive drift guard: if current speeds could plausibly
             # blow the cadence budget within this window (2x safety), use
@@ -201,36 +184,38 @@ class SimulationApp:
             est_drift = 2.0 * vmax * float(dt) * n_steps
             if (budget <= 0.0 or self._per_step_rebuild or n_steps == 1
                     or est_drift > budget):
-                from ..engine.step import (
-                    simulate_dense_carry, next_feasible_cap)
+                from ..engine.step import simulate_dense_carry
                 from ..ops.celllist_dense import (
                     build_dense, scatter_back, default_mover_capacity)
 
-                nsc, cap = self._cell_geometry()
-                if self._cap_escalated:
-                    cap = max(cap, self._cap_escalated)
                 while True:
                     if self._dense is None or self._dense_geom != (nsc, cap):
-                        self._dense = build_dense(self.state, self.cfg,
-                                                  nsc, cap)
+                        dense = build_dense(self.state, self.cfg, nsc, cap)
+                        # initial-build drops (cell already over capacity)
+                        # would ride the whole batch frozen: escalate BEFORE
+                        # running anything
+                        dropped = int(self.state.n
+                                      - jnp.sum((dense.pid >= 0)
+                                                .astype(jnp.int32)))
+                        if dropped > 0:
+                            nxt = self._escalate(nsc, cap)
+                            if nxt is None:
+                                self._cell_fallback = True
+                                break
+                            cap = nxt
+                            self._cap_escalated = cap
+                            continue
+                        self._dense = dense
                         self._dense_geom = (nsc, cap)
                     new_dense, (mov, mis) = simulate_dense_carry(
                         self._dense, self.cfg, dt, n_steps, nsc, cap,
                         default_mover_capacity(self.state.n))
-                    if int(mis) > 0 and cap < self.max_cap:
+                    if int(mis) > 0:
                         # rewind the batch (self.state is still pre-batch)
-                        # and re-run at the next feasible capacity; if the
-                        # ladder ends, the NEXT batch's preemptive check
-                        # routes to the brute-force fallback
-                        nxt = None
-                        for target in (max(cap + 1, cap * 2), cap + 1):
-                            try:
-                                nxt = min(next_feasible_cap(nsc, target),
-                                          self.max_cap)
-                                break
-                            except ValueError:
-                                nxt = None
-                        if nxt is None or nxt <= cap:
+                        # and re-run at the next feasible capacity — or
+                        # brute-force when the ladder ends
+                        nxt = self._escalate(nsc, cap)
+                        if nxt is None:
                             self._cell_fallback = True
                             break
                         cap = nxt
@@ -249,8 +234,26 @@ class SimulationApp:
             else:
                 from ..engine.step import simulate_cadenced
 
-                self.state, drift = simulate_cadenced(
-                    self.state, self.cfg, dt, n_steps, rebuild_every=n_steps)
+                while True:
+                    out, drift, dropped = simulate_cadenced(
+                        self.state, self.cfg, dt, n_steps,
+                        rebuild_every=n_steps, nsc=nsc, cap=cap)
+                    if int(dropped) > 0:
+                        # a layout build overflowed: the window froze
+                        # particles — rewind (out is discarded, self.state
+                        # is pre-batch) and escalate
+                        nxt = self._escalate(nsc, cap)
+                        if nxt is None:
+                            self._cell_fallback = True
+                            break
+                        cap = nxt
+                        self._cap_escalated = cap
+                        continue
+                    break
+                if self._cell_fallback:
+                    self._run_fallback(dt, n_steps)
+                    return
+                self.state = out
                 # this path advances state outside the persisted dense
                 # layout: a cached layout would replay stale positions
                 self._invalidate_dense()

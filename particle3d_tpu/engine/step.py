@@ -159,17 +159,28 @@ def trajectory(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     """Run the trajectory on device, emitting position snapshots every
     ``snapshot_every`` steps: returns (final_state, positions[S, N, 3]).
 
+    When ``num_steps`` is not a multiple of ``snapshot_every`` the trailing
+    partial window still runs and emits one final snapshot (so S =
+    ceil(num_steps / snapshot_every) and the last snapshot is always the
+    final state — same remainder-window treatment as ``simulate_cadenced``).
+
     This is the batched device->host snapshot path from the north star — the
     inner loop never leaves TPU; the host reads back one stacked array.
     """
-    assert num_steps % snapshot_every == 0
     outer = num_steps // snapshot_every
+    rem = num_steps % snapshot_every
 
-    def body(s, _):
-        s2 = jax.lax.fori_loop(0, snapshot_every, lambda _, ss: step(ss, cfg, dt), s)
+    def window(s, k):
+        s2 = jax.lax.fori_loop(0, k, lambda _, ss: step(ss, cfg, dt), s)
         return s2, s2.positions
 
-    state, snaps = jax.lax.scan(body, state, None, length=outer)
+    snaps = jnp.zeros((0,) + state.positions.shape, state.positions.dtype)
+    if outer:
+        state, snaps = jax.lax.scan(
+            lambda s, _: window(s, snapshot_every), state, None, length=outer)
+    if rem:
+        state, last = window(state, rem)
+        snaps = jnp.concatenate([snaps, last[None]], axis=0)
     return state, snaps
 
 
@@ -275,6 +286,26 @@ def next_feasible_cap(nsc: int, cap: int) -> int:
                      f"(alignment or scoped-VMEM limit)")
 
 
+def escalate_cap(nsc: int, cap: int, max_cap: int) -> int | None:
+    """Next rung of the capacity-escalation ladder, or None when it ends.
+
+    Prefers doubling; when the doubled target's next feasible capacity
+    exceeds ``max_cap`` (max_cap itself is NOT guaranteed feasible —
+    alignment/VMEM), falls back to the smallest feasible step. Returns a
+    feasible capacity in (cap, max_cap] or None (callers then fall back to
+    the capacity-free all-pairs backend)."""
+    if cap >= max_cap:
+        return None
+    for target in (max(cap + 1, cap * 2), cap + 1):
+        try:
+            c = next_feasible_cap(nsc, target)
+        except ValueError:
+            continue
+        if cap < c <= max_cap:
+            return c
+    return None
+
+
 def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                             num_steps: int, chunk: int = 64,
                             nsc: int | None = None, cap: int | None = None,
@@ -291,10 +322,11 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     the next feasible (aligned) capacity — one recompile per escalation,
     after which the run proceeds at full speed with the larger layout.
     Every committed window is mask-free, so the whole trajectory is exact
-    (same guarantee as per-step rebuilds) up to ``max_cap``; a window still
-    masking at ``max_cap`` is committed with a warning through ``verbose``
-    (the physics in a blob denser than max_cap per cell is genuinely
-    O(occupancy^2) — cost no layout can avoid).
+    (same guarantee as per-step rebuilds): a window still masking at
+    ``max_cap`` is NEVER committed — it is rewound and re-run through the
+    capacity-free all-pairs fallback below (the physics in a blob denser
+    than max_cap per cell is genuinely O(occupancy^2) — cost no layout can
+    avoid, so brute force is the honest price).
 
     When the escalation ladder ends (no aligned capacity fits the kernel's
     scoped-VMEM budget, or ``max_cap`` is reached) while masking persists,
@@ -331,18 +363,8 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                                          cap=cap)
         masked = int(mis)
         if masked > 0:
-            new_cap = None
-            if cap < max_cap:
-                # prefer doubling; when that overshoots the VMEM/alignment
-                # ceiling, take the last feasible rungs one step at a time
-                for target in (max(cap + 1, cap * 2), cap + 1):
-                    try:
-                        new_cap = min(next_feasible_cap(nsc, target),
-                                      max_cap)
-                        break
-                    except ValueError:
-                        new_cap = None
-            if new_cap is not None and new_cap > cap:
+            new_cap = escalate_cap(nsc, cap, max_cap)
+            if new_cap is not None:
                 if verbose:
                     verbose(f"[adaptive] step {done}: {masked} capacity-"
                             f"masked at cap={cap} -> rewinding window, "
@@ -382,8 +404,11 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
     regathered into the frozen layout (the MD skin/Verlet-list pattern).
 
     Exact while every particle drifts less than (cell_width - cutoff)/2
-    between rebuilds; returns (final_state, max_observed_drift) so callers
-    can validate against ``pallas_celllist.drift_budget(cfg, nsc)``.
+    between rebuilds AND no layout build overflows its cell capacity;
+    returns ``(final_state, max_observed_drift, max_dropped)`` so callers
+    can validate drift against ``pallas_celllist.drift_budget(cfg, nsc)``
+    and rewind/escalate when ``max_dropped > 0`` (overflow-dropped
+    particles ride a window frozen — the window is NOT exact).
     """
     from ..ops.pallas_celllist import build_layout, layout_drift
     from ..ops import forces as FF
@@ -399,7 +424,7 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
 
     from ..ops.pallas_celllist import dense_forces, slot_of_particle
 
-    def run_window(s, max_drift, k):
+    def run_window(s, max_drift, max_dropped, k):
         u, v = FF.pair_features(s, cfg)
         layout = build_layout(s.positions, u, v, cfg, nsc, cap)
 
@@ -452,9 +477,12 @@ def simulate_cadenced(state: ParticleState, cfg: SimConfig, dt,
             accel=back(dense.accel, s.accel),
         )
         max_drift = jnp.maximum(max_drift, layout_drift(layout, s.positions, cfg))
-        return s, max_drift
+        # capacity-overflow drops: particles the build left without a slot
+        # rode this window frozen — surface the count so callers can rewind
+        dropped = s.n - jnp.sum((slot >= 0).astype(jnp.int32))
+        return s, max_drift, jnp.maximum(max_dropped, dropped)
 
-    carry = (state, jnp.float32(0.0))
+    carry = (state, jnp.float32(0.0), jnp.int32(0))
     if outer:
         carry, _ = jax.lax.scan(
             lambda c, _: (run_window(*c, rebuild_every), None),

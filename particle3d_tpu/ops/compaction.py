@@ -61,7 +61,9 @@ def masked_indices(mask, size: int, fill_value: int | None = None):
     s = mask.shape[0]
     if fill_value is None:
         fill_value = s
-    if s < 4096 or s % 128:
+    # past 2^24 the f32 rank cumsums lose integer exactness (ranks can reach
+    # the mask length) — fall back to the exact-by-construction nonzero
+    if s < 4096 or s % 128 or s > (1 << 24):
         return jnp.nonzero(mask, size=size, fill_value=fill_value)[0]
     m2 = mask.reshape(-1, 128).astype(jnp.float32)
     cum = _lane_cumsum(m2)                      # inclusive, per row

@@ -521,19 +521,26 @@ def init_sharded_dense(key, n: int, cfg: SimConfig, mesh,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_steps", "nsc", "cap", "mcap", "migcap", "axis", "mesh", "interpret"))
+    "num_steps", "nsc", "cap", "mcap", "migcap", "axis", "mesh", "interpret",
+    "n"))
 def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                         nsc: int | None = None, cap: int | None = None,
                         mcap: int | None = None, migcap: int | None = None,
-                        axis: str = AXIS, interpret: bool | None = None):
+                        axis: str = AXIS, interpret: bool | None = None,
+                        n: int | None = None):
     """Advance a stay-sharded carry by ``num_steps`` (no replicated round
     trip). Returns ``(carry, (max_movers, max_masked, max_limbo, lost,
-    shipped))`` with ``lost``/``shipped`` counted for this window only."""
+    shipped))`` with ``lost``/``shipped`` counted for this window only.
+
+    Pass ``n`` (the true particle count) so the mover/outbox pipelines get
+    the same static sizes as ``sharded_dense_simulate`` for that N — the
+    mover-sized ops are the rebind cost driver (celllist_dense.py). Without
+    it the bound falls back to the slot count (nsc^3 * cap >= N):
+    conservative, never wrong, but larger static ops."""
     data, pid, limbo_data, limbo_pid, lost_prev = carry
     d = mesh.shape[axis]
     limbocap = limbo_pid.shape[0] // d
-    # recover n bound for mover capacity from the carry shape
-    n_hint = pid.shape[0]
+    n_hint = pid.shape[0] if n is None else n
     g = _geometry(cfg, mesh, n_hint, nsc, cap, mcap, migcap, limbocap, axis,
                   interpret)
     params_f = pack_params(cfg)

@@ -86,7 +86,7 @@ def test_sharded_cell_simulate_matches_single_device():
     cfgp = cfg.replace(neighbor="celllist_pallas", cell_grid=8,
                        cell_capacity=48)
     st = warmup(st, cfgp)
-    want, _ = simulate_cadenced(st, cfgp, dt, 8, rebuild_every=4)
+    want, _, _ = simulate_cadenced(st, cfgp, dt, 8, rebuild_every=4)
 
     mesh = make_mesh(4)
     got, drift = sharded_cell_simulate(st, cfgp, dt, 8, mesh,

@@ -85,3 +85,16 @@ def test_record_and_replay(tmp_path):
               "--width", "120", "--height", "90")
     assert r2.returncode == 0, r2.stderr
     assert os.path.getsize(gif) > 300
+
+
+def test_record_non_divisible_cadence(tmp_path):
+    """steps not a multiple of snapshot-every: the trailing remainder steps
+    still run and the final partial window is recorded (no silent drop)."""
+    traj = str(tmp_path / "t2.p3t")
+    r = _cli("run", "--preset", "reference", "--n", "64", "--steps", "10",
+             "--snapshot-every", "4", "--record", traj)
+    assert r.returncode == 0, r.stderr
+    from particle3d_tpu.utils.trajio import TrajectoryReader
+
+    tr = TrajectoryReader(traj)
+    assert len(tr) == 3  # snapshots at steps 4, 8, 10

@@ -95,7 +95,9 @@ def test_stay_sharded_carry_matches_single_call():
     # the carry is genuinely state-sharded (O(N/D) rows per device)
     assert data.sharding.is_equivalent_to(
         jax.NamedSharding(mesh, P("shard")), data.ndim)
-    carry, diag1 = sharded_dense_steps(carry, cfg, dt, 5, mesh)
+    # n= threads the true particle count so the mover pipeline's static
+    # sizes match sharded_dense_simulate's (instead of the slot-count bound)
+    carry, diag1 = sharded_dense_steps(carry, cfg, dt, 5, mesh, n=st.n)
     carry, diag2 = sharded_dense_steps(carry, cfg, dt, 5, mesh)
     assert int(diag1[3]) == 0 and int(diag2[3]) == 0  # lost
     out = gather_sharded_dense(carry, st, mesh)

@@ -111,8 +111,9 @@ def test_cadenced_rebuild_matches_per_step():
                        cell_capacity=48)
     st = warmup(st, cfgp)
     a = simulate(st, cfgp, dt, 8)
-    b, drift = simulate_cadenced(st, cfgp, dt, 8, rebuild_every=4)
+    b, drift, dropped = simulate_cadenced(st, cfgp, dt, 8, rebuild_every=4)
     assert float(drift) < float(drift_budget(cfgp, 8))
+    assert int(dropped) == 0
     np.testing.assert_allclose(
         np.asarray(a.positions), np.asarray(b.positions), atol=1e-6)
 

@@ -145,6 +145,27 @@ def test_trajectory_snapshots_shape_and_consistency():
         np.asarray(final.positions), np.asarray(direct.positions), atol=1e-6)
 
 
+def test_trajectory_remainder_window():
+    """num_steps not divisible by snapshot_every: the trailing partial
+    window runs and emits one final snapshot (no assert, no dropped steps)."""
+    cfg = reference_config()
+    st = init_scene(jax.random.PRNGKey(2), 64, cfg)
+    final, snaps = trajectory(st, cfg, 1.0 / 60.0, 23, snapshot_every=5)
+    assert snaps.shape == (5, 64, 3)  # 4 full windows + 1 partial
+    np.testing.assert_array_equal(np.asarray(snaps[-1]),
+                                  np.asarray(final.positions))
+    direct = simulate(st, cfg, 1.0 / 60.0, 23)
+    np.testing.assert_allclose(
+        np.asarray(final.positions), np.asarray(direct.positions), atol=1e-6)
+    # snapshot_every > num_steps: one partial window
+    final2, snaps2 = trajectory(st, cfg, 1.0 / 60.0, 3, snapshot_every=8)
+    assert snaps2.shape == (1, 64, 3)
+    direct2 = simulate(st, cfg, 1.0 / 60.0, 3)
+    np.testing.assert_allclose(
+        np.asarray(final2.positions), np.asarray(direct2.positions),
+        atol=1e-6)
+
+
 def test_velocity_verlet_harmonic_oscillator_energy():
     """Verlet integrator sanity: two particles on a spring conserve energy
     far better than Euler over many periods (no drag)."""
