@@ -35,6 +35,7 @@ def _timed(fn, iters):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from particle3d_tpu import reference_config, init_scene, simulate, warmup
     from particle3d_tpu.models import make_scene
@@ -128,6 +129,123 @@ def main():
             f"rel err {relc:.2e}")
         extra["culled_sweep_ms_N262k"] = secq * 1e3
         extra["culled_vs_allpairs_rel_err"] = relc
+
+        # worklist-culled fallback driver (simulate_culled): compiled-mode
+        # equivalence vs the exact dense path + its steady windowed rate —
+        # the terminal rung of the capacity-escalation ladder
+        try:
+            from particle3d_tpu.engine.step import (
+                simulate_dense, simulate_culled)
+
+            ref8, _ = simulate_dense(stc, cfgc, dt, 8)
+            out8, stats8 = simulate_culled(stc, cfgc, dt, 8, window=8)
+            sc = max(1.0, float(np.max(np.abs(np.asarray(ref8.positions)))))
+            relw = float(np.max(np.abs(
+                np.asarray(out8.positions)
+                - np.asarray(ref8.positions)))) / sc
+            assert relw < 5e-5, (
+                f"compiled-mode mismatch: simulate_culled vs simulate_dense "
+                f"rel err {relw:.2e}")
+            assert stats8["retries"] == 0 or stats8["max_count"] > 0
+            t0 = time.perf_counter()
+            out16, stats16 = simulate_culled(out8, cfgc, dt, 16, window=8)
+            float(jnp.sum(out16.positions))
+            secw = (time.perf_counter() - t0) / 16
+            print(f"[bench] worklist-culled fallback (simulate_culled, "
+                  f"N={n}): {secw*1e3:.0f} ms/step all-in "
+                  f"({1/secw:.2f} steps/s), mean pair frac "
+                  f"{stats16['mean_pair_frac']:.3f}, rel err vs dense path "
+                  f"{relw:.2e}", file=sys.stderr)
+            extra["simulate_culled_ms_per_step_N262k"] = secw * 1e3
+            extra["simulate_culled_vs_dense_rel_err"] = relw
+        except Exception as e:
+            print(f"[bench] simulate_culled bench failed: {e}",
+                  file=sys.stderr)
+
+        # --- compiled-mode gates for the SHARDED kernels (round-3 item 1):
+        # a 1-device mesh on the real chip compiles + runs the slab path's
+        # halo=True column kernel and the ring ppermute sweep — the exact
+        # blind-spot class that hid the round-1 revisit bug ---------------
+        try:
+            from particle3d_tpu.parallel import (
+                make_mesh, shard_state, sharded_simulate,
+                sharded_dense_simulate)
+            from particle3d_tpu.engine.step import simulate_dense
+
+            mesh1 = make_mesh(1)
+            out_slab, (_, _, _, lost, _) = sharded_dense_simulate(
+                stc, cfgc, dt, 4, mesh1)
+            ref4, _ = simulate_dense(stc, cfgc, dt, 4)
+            sc = max(1.0, float(np.max(np.abs(np.asarray(ref4.positions)))))
+            rel_slab = float(np.max(np.abs(
+                np.asarray(out_slab.positions)
+                - np.asarray(ref4.positions)))) / sc
+            assert int(lost) == 0
+            assert rel_slab < 5e-5, (
+                f"compiled-mode mismatch: slab halo kernel vs dense layout "
+                f"rel err {rel_slab:.2e}")
+            print(f"[bench] slab halo kernel compiled on-chip (1-dev mesh, "
+                  f"N={n}, 4 steps): rel err vs simulate_dense "
+                  f"{rel_slab:.2e}, lost 0", file=sys.stderr)
+            extra["slab_halo_vs_dense_rel_err"] = rel_slab
+
+            ring_state = shard_state(st, mesh1)
+            out_ring = sharded_simulate(ring_state, cfg, dt, 2, mesh1)
+            ref_ring = simulate(st, cfg, dt, 2)
+            sc = max(1.0, float(np.max(np.abs(
+                np.asarray(ref_ring.positions)))))
+            rel_ring = float(np.max(np.abs(
+                np.asarray(out_ring.positions)
+                - np.asarray(ref_ring.positions)))) / sc
+            assert rel_ring < 5e-5, (
+                f"compiled-mode mismatch: ring sweep vs all-pairs "
+                f"rel err {rel_ring:.2e}")
+            print(f"[bench] ring sweep compiled on-chip (1-dev mesh, N={n}, "
+                  f"2 steps): rel err vs all-pairs {rel_ring:.2e}",
+                  file=sys.stderr)
+            extra["ring_vs_allpairs_rel_err"] = rel_ring
+        except Exception as e:
+            print(f"[bench] sharded compiled gates failed: {e}",
+                  file=sys.stderr)
+            extra["sharded_gates_error"] = str(e)[:200]
+
+        # --- BASELINE config-5 direction: stay-sharded slab carry at N=2M
+        # on the real chip — steps/s + live per-chip HBM accounting -------
+        try:
+            from particle3d_tpu.parallel import (
+                make_mesh, init_sharded_dense, sharded_dense_steps)
+            from particle3d_tpu import SimConfig
+
+            n2m = 2_097_152
+            nsc2 = 64
+            cap2 = 16
+            cfg2m = SimConfig(world_size=float(nsc2),
+                              neighbor="celllist_pallas", cell_grid=nsc2,
+                              cell_capacity=cap2).validate()
+            mesh1 = make_mesh(1)
+            carry = init_sharded_dense(jax.random.PRNGKey(5), n2m, cfg2m,
+                                       mesh1, nsc=nsc2, cap=cap2)
+            hbm = sum(int(a.nbytes) for a in jax.tree.leaves(carry))
+            carry, _ = sharded_dense_steps(   # compile + warm
+                carry, cfg2m, dt, 2, mesh1, nsc=nsc2, cap=cap2, n=n2m)
+            float(jnp.sum(carry[0][:, 0]))
+            t0 = time.perf_counter()
+            carry, (mov2, mask2, limbo2, lost2, _) = sharded_dense_steps(
+                carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2, n=n2m)
+            float(jnp.sum(carry[0][:, 0]))
+            sec2m = (time.perf_counter() - t0) / 10
+            dev_stats = jax.devices()[0].memory_stats() or {}
+            used = dev_stats.get("bytes_in_use", 0)
+            print(f"[bench] slab stay-sharded N=2M (1 chip): "
+                  f"{1/sec2m:.2f} steps/s, carry {hbm/1e9:.2f} GB, device "
+                  f"in-use {used/1e9:.2f} GB, masked {int(mask2)} "
+                  f"lost {int(lost2)}", file=sys.stderr)
+            extra["slab_steps_per_s_N2M"] = 1 / sec2m
+            extra["slab_carry_bytes_N2M"] = hbm
+            extra["slab_lost_N2M"] = int(lost2)
+        except Exception as e:
+            print(f"[bench] slab 2M bench failed: {e}", file=sys.stderr)
+            extra["slab_2m_error"] = str(e)[:200]
 
     if on_tpu:
         # --- N=4096 steps/sec (reference demo scale, x4) ------------------

@@ -126,13 +126,21 @@ class SimulationApp:
         return nsc, cap
 
     def _run_fallback(self, dt, n_steps: int) -> None:
-        """Advance with the capacity-free brute-force backend (exact) —
-        the terminal state of the escalation ladder."""
+        """Advance with the capacity-free culled backend (exact) — the
+        terminal state of the escalation ladder. On hardware this is the
+        stay-sorted worklist driver (``simulate_culled``); interpret mode
+        (tests/CPU) uses the plain XLA all-pairs sweep."""
         from ..ops.pallas_allpairs import _use_interpret
 
-        nb = "allpairs" if _use_interpret() else "allpairs_culled"
-        self.state = simulate(
-            self.state, self.cfg.replace(neighbor=nb), dt, n_steps)
+        if _use_interpret():
+            self.state = simulate(
+                self.state, self.cfg.replace(neighbor="allpairs"), dt,
+                n_steps)
+        else:
+            from ..engine.step import simulate_culled
+
+            self.state, _ = simulate_culled(
+                self.state, self.cfg, dt, n_steps, window=n_steps)
         self._invalidate_dense()
         jax.block_until_ready(self.state.positions)
         self.step_index += n_steps

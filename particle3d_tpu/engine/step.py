@@ -27,6 +27,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SimConfig
 from ..state import ParticleState
@@ -306,6 +307,180 @@ def escalate_cap(nsc: int, cap: int, max_cap: int) -> int | None:
     return None
 
 
+@functools.partial(jax.jit, static_argnames=("num_steps", "t", "wp_cap",
+                                             "interpret"))
+def _culled_window(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
+                   t: int, wp_cap: int, interpret: bool | None = None):
+    """One window for ``simulate_culled``: the packed tile-pair worklist is
+    rebuilt ON DEVICE every step from the current positions (fresh mask =>
+    always exact, no skin/drift machinery), bounded by the static
+    ``wp_cap``. Returns ``(state, (max_count, sum_count))`` — a step whose
+    surviving-pair count exceeds wp_cap produced garbage forces, so callers
+    MUST rewind the window whenever max_count > wp_cap."""
+    from ..ops.pallas_allpairs import (
+        _PACK_SHIFT, _pad_rows, _round_to, pair_survival_mask,
+        pallas_allpairs_forces_pairlist)
+    from ..ops.compaction import masked_indices
+    from ..ops import forces as FF
+
+    n = state.n
+    np_ = _round_to(n, t)
+    nt = np_ // t
+    flat_len = nt * nt
+    pad128 = (-flat_len) % 128
+    pad_entry = jnp.int32(((nt - 1) << _PACK_SHIFT) | nt)
+    u, v = FF.pair_features(state, cfg)
+
+    def accel_fn(positions, st, c):
+        mask = pair_survival_mask(
+            _pad_rows(positions.astype(jnp.float32), np_), n, t, nt, c)
+        flat = mask.reshape(-1)
+        count = jnp.sum(flat.astype(jnp.int32))
+        if pad128:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad128,), bool)])
+        idx = masked_indices(flat, wp_cap, fill_value=flat_len)
+        ok = idx < flat_len
+        wp = jnp.where(
+            ok, ((idx // nt) << _PACK_SHIFT) | (idx % nt), pad_entry
+        ).astype(jnp.int32)
+        f = pallas_allpairs_forces_pairlist(
+            positions, u, v, c, ((wp, 0, nt - 1),), t=t,
+            interpret=interpret)
+        return f * FF.kick_scale(c), count
+
+    def body(carry, _):
+        s, mx, tot = carry
+        cnt_box = [None]
+
+        def accel_track(positions, st, c):
+            f, count = accel_fn(positions, st, c)
+            cnt_box[0] = count
+            return f
+
+        s2 = step(s, cfg, dt, accel_fn=accel_track)
+        cnt = cnt_box[0]
+        return (s2, jnp.maximum(mx, cnt), tot + cnt), None
+
+    (state, mx, tot), _ = jax.lax.scan(
+        body, (state, jnp.int32(0), jnp.int32(0)), None, length=num_steps)
+    return state, (mx, tot)
+
+
+def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
+                    window: int = 16, t: int | None = None, verbose=None,
+                    wp_cap: int | None = None):
+    """Long-horizon EXACT trajectory driver for the worklist-culled
+    backend — the terminal rung of the capacity-escalation ladder (scenes
+    whose clusters exceed every feasible cell capacity), with none of the
+    per-step costs of ``simulate(cfg.replace(neighbor="allpairs_culled"))``:
+
+      * the state is kept MORTON-SORTED across each window (one argsort +
+        gather per window, not per step — ``culled_forces_sorted``'s frozen-
+        order contract: a stale order only loosens tile bounds, never
+        correctness, because the mask is rebuilt from live positions),
+      * every step rebuilds the surviving tile-pair WORKLIST on device
+        (``compaction.masked_indices`` over the nt^2 survival mask — a few
+        ms) and the kernel walks only those pairs via a scalar-prefetched
+        grid (``pallas_allpairs_forces_pairlist``): cost is O(survivors)
+        with no dense-grid skip floor and no Verlet-skin inflation,
+      * the only static bound is the worklist capacity ``wp_cap``: a window
+        observing more survivors than fits is REWOUND and re-run at the
+        next capacity bucket (same rewind-don't-commit rule as
+        ``simulate_dense_adaptive`` — no committed step is ever inexact).
+
+    Returns ``(state, stats)`` with state back in PARTICLE order; stats =
+    dict(windows, retries, max_count, max_pair_frac, mean_pair_frac).
+    """
+    from ..ops.pallas_allpairs import (
+        _round_to, _use_interpret, _WLIST_MAX, morton_keys,
+        pair_survival_mask, _pad_rows)
+
+    interpret = _use_interpret()
+    n = state.n
+    if t is None:
+        t = 256
+    t = min(t, max(8, -(-n // 8) * 8))
+    np_ = _round_to(n, t)
+    nt = np_ // t
+    pairs_total = nt * (nt + 1) // 2
+
+    def gather(s, order):
+        return jax.tree.map(lambda a: a[order], s)
+
+    sort_key = jax.jit(lambda p: jnp.argsort(morton_keys(p, cfg.world_size)))
+
+    def bucket(c):
+        """Quantized static capacity: bounds recompiles to O(log) distinct
+        shapes while keeping slack for within-window growth. 1.25x spacing:
+        every padded grid step costs real kernel time (~0.4 us), so the cap
+        should hug the true count."""
+        c = max(c, 1024)
+        b = 1024
+        while b < c:
+            b = b * 5 // 4
+        return min(b, max(_WLIST_MAX, 1024))
+
+    done = 0
+    windows = retries = 0
+    max_count = 0
+    max_frac = 0.0
+    mean_frac_acc = 0.0
+    order_total = None  # sorted row -> original particle id, composed
+
+    while done < num_steps:
+        k = min(window, num_steps - done)
+        order = sort_key(state.positions)
+        state = gather(state, order)
+        order_total = order if order_total is None else order_total[order]
+        if wp_cap is None:
+            # size from the SORTED state's actual survivor count (+50%
+            # slack): sorting first matters — unsorted tiles have near-box
+            # bounds and would size the cap (and every step's padded grid)
+            # several times too large
+            mask0 = pair_survival_mask(
+                _pad_rows(state.positions.astype(jnp.float32), np_), n, t,
+                nt, cfg)
+            wp_cap = bucket(int(jnp.sum(mask0.astype(jnp.int32))) * 5 // 4)
+        while True:
+            out, (mx, tot) = _culled_window(state, cfg, dt, k, t, wp_cap,
+                                            interpret)
+            mx = int(mx)
+            max_count = max(max_count, mx)
+            if mx <= wp_cap:
+                break
+            retries += 1
+            new_cap = bucket(mx * 5 // 4)
+            if verbose:
+                verbose(f"[culled] step {done}: {mx} surviving pairs > "
+                        f"worklist cap {wp_cap} — rewinding window, "
+                        f"cap -> {new_cap}")
+            if new_cap <= wp_cap:
+                # SMEM worklist ceiling: the scene is barely cullable at
+                # this tile size — run THIS window on the dense-grid culled
+                # backend (jittable bit-mask kernel, no worklist bound;
+                # slower but exact) and keep going
+                if verbose:
+                    verbose(f"[culled] step {done}: {mx} surviving pairs "
+                            f"exceed the SMEM worklist ceiling — window "
+                            f"runs on the dense-grid culled sweep")
+                out = simulate(
+                    state, cfg.replace(neighbor="allpairs_culled"), dt, k)
+                break
+            wp_cap = new_cap
+        state = out
+        max_frac = max(max_frac, mx / pairs_total)
+        mean_frac_acc += int(tot) / (k * pairs_total)
+        done += k
+        windows += 1
+    inv = jnp.zeros((n,), order_total.dtype).at[order_total].set(
+        jnp.arange(n, dtype=order_total.dtype))
+    state = gather(state, inv)
+    return state, {"windows": windows, "retries": retries,
+                   "max_count": max_count, "max_pair_frac": max_frac,
+                   "mean_pair_frac": mean_frac_acc / max(windows, 1)}
+
+
 def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                             num_steps: int, chunk: int = 64,
                             nsc: int | None = None, cap: int | None = None,
@@ -353,8 +528,15 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     while done < num_steps:
         k = min(chunk, num_steps - done)
         if fallback:
-            fb = "allpairs" if interp else "allpairs_culled"
-            state = simulate(state, cfg.replace(neighbor=fb), dt, k)
+            if interp:
+                state = simulate(state, cfg.replace(neighbor="allpairs"),
+                                 dt, k)
+            else:
+                # stay-sorted worklist driver: no per-step argsort/gather
+                # and no dense-grid floor (see simulate_culled)
+                state, _ = simulate_culled(state, cfg, dt, k,
+                                           window=min(k, 16),
+                                           verbose=verbose)
             done += k
             history.append((k, "allpairs", 0))
             continue

@@ -680,9 +680,10 @@ def culled_forces_sorted(pos_s, u_s, v_s, cfg: SimConfig, *,
                          interpret: bool | None = None):
     """(forces [N,3], surviving fraction) for ALREADY Morton-sorted inputs.
     The tile mask is recomputed from the given positions, so a frozen sort
-    order stays EXACT as particles drift (tile bounding boxes simply grow);
-    callers that keep the state sorted across a window avoid the per-step
-    argsort/gather/scatter entirely (engine.step.simulate_culled)."""
+    order stays EXACT as particles drift (tile bounding boxes simply grow).
+    ``engine.step.simulate_culled`` builds on the same frozen-order
+    contract but walks a scalar-prefetched worklist of the surviving pairs
+    (``pallas_allpairs_forces_pairlist``) instead of this dense grid."""
     n = pos_s.shape[0]
     if interpret is None:
         interpret = _use_interpret()
@@ -715,3 +716,320 @@ def pallas_allpairs_forces_culled(positions, u, v, cfg: SimConfig, *,
     if with_stats:
         return out, frac
     return out
+
+
+# ---------------------------------------------------------------------------
+# Worklist-driven triangular kernel (scalar-prefetched tile-pair list)
+# ---------------------------------------------------------------------------
+#
+# The bit-mask culled kernel above still walks the FULL nt x (nt/2+1) grid
+# and pays a fixed per-step cost for every skipped pair (~17 ms at N=262k,
+# T=640 on a v5e) — a floor that grows O(nt^2) with N and dominates exactly
+# where culling works best (clustered scenes, small surviving fractions).
+# This variant instead enumerates only the SURVIVING unordered tile pairs in
+# a scalar-prefetched worklist: grid = (W,), and the (i, j) of step s come
+# from a packed SMEM array driving the BlockSpec index maps — cost is
+# O(survivors), with no floor and no dense partial buffer:
+#
+#   * entries are packed (i << 15) | j (one i32 per pair: SMEM holds ~250k
+#     entries within the 1 MB scoped budget; two separate arrays would not).
+#   * the list is sorted by i (row-major upper-triangular order), so out_a's
+#     revisits are CONSECUTIVE — the defined Pallas accumulation pattern —
+#     and "first visit" is just wi[s] != wi[s-1].
+#   * the j-side partials are write-once per grid step into out_b[s] (one
+#     [3, T] slot per worklist entry, O(W) not O(nt * N) memory); the j-sum
+#     happens outside with one scatter-add keyed by the j fields.
+#   * every tile's self pair (i, i) always survives, so every out_a block is
+#     initialized; self pairs are covered one-sided (j-side zeroed), exactly
+#     like the k=0 diagonal of the dense-grid kernel.
+#   * padding entries point at a fully-masked dummy source tile appended at
+#     j = nt (r2row = -1 kills every pair) with i = nt-1, which merges into
+#     the final real run — zero contribution, defined accumulation.
+#
+# Worklists longer than the SMEM bound run as chunks over contiguous i
+# ranges (pallas_allpairs_forces_pairlist handles the splitting; each
+# chunk's out_a rows outside its own range are zeroed before the sum, so
+# boundary tiles split across chunks accumulate correctly).
+
+_PACK_SHIFT = 15  # j field width: nt + 1 (dummy tile) must fit in 15 bits
+_WLIST_MAX = 196608  # packed entries per pallas_call (768 KB of 1 MB SMEM)
+
+
+def _pairlist_kernel(wp_ref, pf_ref, pos_i_ref, pos_jt_ref, u_ref, v_ref,
+                     ut_ref, vt_ref, r2row_ref, imask_ref, out_a_ref,
+                     out_b_ref, *, law: str, wrap: bool, t: int,
+                     use_rsqrt: bool):
+    s = pl.program_id(0)
+    packed = wp_ref[s]
+    i = packed >> _PACK_SHIFT
+    j = packed & ((1 << _PACK_SHIFT) - 1)
+    first = jnp.logical_or(
+        s == 0, (wp_ref[jnp.maximum(s - 1, 0)] >> _PACK_SHIFT) != i)
+    w = pf_ref[0]
+
+    # geometry + two directional scales: same math as _tri_body (positions
+    # pre-scaled by 1/w in wrap mode, r2row by 1/w^2)
+    xi = pos_i_ref[:, 0:1]
+    yi = pos_i_ref[:, 1:2]
+    zi = pos_i_ref[:, 2:3]
+    dx = pos_jt_ref[0:1, :] - xi  # [T, T]
+    dy = pos_jt_ref[1:2, :] - yi
+    dz = pos_jt_ref[2:3, :] - zi
+    if wrap:
+        dx = dx - jnp.round(dx)
+        dy = dy - jnp.round(dy)
+        dz = dz - jnp.round(dz)
+    d2 = dx * dx + dy * dy + dz * dz
+    in_r = d2 < r2row_ref[0:1, :]
+    valid = jnp.logical_and(d2 > (1e-12 if wrap else 0.0), in_r)
+    if wrap:
+        d2 = d2 * (w * w)
+
+    coef_ij = jnp.dot(u_ref[:], vt_ref[:], preferred_element_type=jnp.float32)
+    coef_ji = jnp.dot(v_ref[:], ut_ref[:], preferred_element_type=jnp.float32)
+
+    safe = jnp.where(valid, d2, 1.0)
+    if law == "particle_life":
+        inv_d, d = _inv_sqrt(safe, use_rsqrt)
+        rep = pf_ref[_PF_INV_M] - inv_d
+        tshape = jnp.maximum(
+            1.0 - jnp.abs(d * pf_ref[_PF_T2] - pf_ref[_PF_TC]), 0.0
+        ) * inv_d
+        is_rep = d < pf_ref[_PF_M]
+        s_ij = jnp.where(is_rep, rep, coef_ij * tshape)
+        s_ji = jnp.where(is_rep, rep, coef_ji * tshape)
+    elif law == "gravity":
+        dd2 = safe + pf_ref[_PF_G_S2]
+        inv, _ = _inv_sqrt(dd2, use_rsqrt)
+        base = pf_ref[_PF_G] * (inv * inv * inv)
+        s_ij = jnp.where(valid, coef_ij * base, 0.0)
+        s_ji = jnp.where(valid, coef_ji * base, 0.0)
+    else:
+        base = _scale(law, safe, 1.0, pf_ref, valid, use_rsqrt)
+        s_ij = coef_ij * base
+        s_ji = coef_ji * base
+
+    s_ji = s_ji * imask_ref[:, 0:1]  # padded receiver rows: no j-side share
+
+    scale_a = w if wrap else 1.0
+    acc_a = jnp.concatenate(
+        [jnp.sum(dx * s_ij, axis=1, keepdims=True),
+         jnp.sum(dy * s_ij, axis=1, keepdims=True),
+         jnp.sum(dz * s_ij, axis=1, keepdims=True)], axis=1) * scale_a
+
+    # self pairs (j == i) are covered one-sided by acc_a's full square
+    scale_bj = jnp.where(j == i, 0.0, 1.0) * scale_a
+    acc_bt = -jnp.concatenate(
+        [jnp.sum(dx * s_ji, axis=0, keepdims=True),
+         jnp.sum(dy * s_ji, axis=0, keepdims=True),
+         jnp.sum(dz * s_ji, axis=0, keepdims=True)], axis=0) * scale_bj
+
+    @pl.when(first)
+    def _():
+        out_a_ref[:] = acc_a
+
+    @pl.when(~first)
+    def _():
+        out_a_ref[:] = out_a_ref[:] + acc_a
+
+    out_b_ref[0] = acc_bt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("law", "wrap", "t", "nt", "interpret"))
+def _pairlist_call(wp, pos_p, pos_tx, u_p, v_p, utx, vtx, r2rowx, imask,
+                   params_f, law, wrap, t, nt, interpret):
+    """One pallas_call over a (chunk of a) packed worklist. The source-side
+    arrays carry the dummy masked tile at index nt. Returns (out_a [np_,3],
+    out_b [W,3,t])."""
+    wcap = wp.shape[0]
+    np_ = pos_p.shape[0]
+    p = u_p.shape[1]
+    mask_j = (1 << _PACK_SHIFT) - 1
+
+    def by_i(s, wp_ref):
+        return (wp_ref[s] >> _PACK_SHIFT, 0)
+
+    def by_jt(s, wp_ref):
+        return (0, wp_ref[s] & mask_j)
+
+    def by_s(s, wp_ref):
+        return (s, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(wcap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params_f
+            pl.BlockSpec((t, 3), by_i),
+            pl.BlockSpec((3, t), by_jt),
+            pl.BlockSpec((t, p), by_i),
+            pl.BlockSpec((t, p), by_i),
+            pl.BlockSpec((p, t), by_jt),
+            pl.BlockSpec((p, t), by_jt),
+            pl.BlockSpec((1, t), by_jt),
+            pl.BlockSpec((t, 1), by_i),
+        ],
+        out_specs=(
+            pl.BlockSpec((t, 3), by_i),
+            pl.BlockSpec((1, 3, t), by_s),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_pairlist_kernel, law=law, wrap=wrap, t=t,
+                          use_rsqrt=not interpret),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((wcap, 3, t), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(wp, params_f, pos_p, pos_tx, u_p, v_p, utx, vtx, r2rowx, imask)
+
+
+def tile_bounds(pos_sorted, n: int, t: int):
+    """(centers [nt,3], radii [nt]) bounding spheres per tile of Morton-
+    sorted, zero-padded positions (same construction as culled_tile_mask)."""
+    np_ = pos_sorted.shape[0]
+    nt = np_ // t
+    valid = (jnp.arange(np_) < n)[:, None]
+    big = jnp.float32(1e30)
+    p3 = pos_sorted.astype(jnp.float32)
+    mins = jnp.min(jnp.where(valid, p3, big).reshape(nt, t, 3), axis=1)
+    maxs = jnp.max(jnp.where(valid, p3, -big).reshape(nt, t, 3), axis=1)
+    centers = 0.5 * (mins + maxs)
+    radii = 0.5 * jnp.sqrt(jnp.sum((maxs - mins) ** 2, axis=-1))
+    return centers, radii
+
+
+@functools.partial(jax.jit, static_argnames=("n", "t", "nt"))
+def pair_survival_mask(pos_s_padded, n: int, t: int, nt: int,
+                       cfg: SimConfig, skin=0.0):
+    """Upper-triangular (j >= i) bool [nt, nt]: tile pairs whose bounding
+    spheres can come within cutoff + skin. ``skin`` is the Verlet-style
+    drift allowance: a worklist built from this mask stays EXACT while
+    every particle has moved less than skin/2 since the mask was built
+    (the in-kernel gate stays at the true cutoff, so included-but-distant
+    pairs contribute exactly zero)."""
+    w = jnp.asarray(cfg.world_size, jnp.float32)
+    cutoff = jnp.sqrt(_r2_gate(cfg)).astype(jnp.float32) + skin
+    centers, radii = tile_bounds(pos_s_padded, n, t)
+    d = centers[:, None, :] - centers[None, :, :]
+    if cfg.wrap_forces:
+        d = d - jnp.round(d / w) * w
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    run = dist <= radii[:, None] + radii[None, :] + cutoff
+    iu = jnp.arange(nt)
+    run = jnp.logical_and(run, iu[None, :] >= iu[:, None])  # j >= i
+    run = jnp.logical_or(run, jnp.eye(nt, dtype=bool))      # self: always
+    return run
+
+
+def build_pair_worklist(mask_np, nt: int, quantum: int = 4096):
+    """Packed worklist chunks from a host [nt, nt] survival mask.
+
+    Returns ``(chunks, count)`` where chunks is a tuple of
+    ``(wp i32[Wc], row_lo, row_hi)`` — each chunk covers a contiguous,
+    sorted-by-i slice of the surviving (i, j >= i) pairs, padded to a
+    ``quantum`` multiple (bounds recompiles) with inert (nt-1, dummy)
+    entries. Host-side by design: the worklist feeds static kernel shapes,
+    so the count -> shape decision is a host decision anyway.
+    """
+    import numpy as np
+
+    assert nt + 1 < (1 << _PACK_SHIFT), f"nt={nt} overflows the pack field"
+    ii, jj = np.nonzero(mask_np)  # row-major: sorted by i then j
+    count = int(ii.shape[0])
+    assert count >= nt, "self pairs must survive — every row appears"
+    packed = ((ii.astype(np.int64) << _PACK_SHIFT)
+              | jj.astype(np.int64)).astype(np.int32)
+    chunks = []
+    pos = 0
+    while pos < count:
+        wc = min(_WLIST_MAX, count - pos)
+        if count > pos + wc:  # split at an i boundary: keep runs intact
+            cut_i = int(ii[pos + wc - 1])
+            # end the chunk before the first entry of cut_i's run unless the
+            # whole chunk is one giant run (then split mid-run: the next
+            # chunk re-initializes that row, rows are summed outside)
+            run_start = int(np.searchsorted(ii, cut_i, side="left"))
+            if run_start > pos:
+                wc = run_start - pos
+        wp = packed[pos:pos + wc]
+        row_lo = int(ii[pos])
+        row_hi = int(ii[pos + wc - 1])
+        pad = (-len(wp)) % quantum
+        if pad:
+            # inert entries continuing the chunk's LAST row (i = row_hi,
+            # j = the dummy masked tile): same-row -> defined accumulation
+            # of zeros, and the chunk's row range stays tight
+            pad_entry = np.int32((row_hi << _PACK_SHIFT) | nt)
+            wp = np.concatenate([wp, np.full((pad,), pad_entry, np.int32)])
+        chunks.append((wp, row_lo, row_hi))
+        pos += wc
+    return tuple(chunks), count
+
+
+def pallas_allpairs_forces_pairlist(pos_s, u_s, v_s, cfg: SimConfig,
+                                    chunks, *, t: int,
+                                    interpret: bool | None = None):
+    """Exact forces [N,3] for Morton-SORTED inputs from a frozen packed
+    worklist (``build_pair_worklist``). O(survivors) cost — no dense-grid
+    floor; the TPU-native replacement for the reference's per-particle
+    neighbor loop (src/lib.rs:176-243) in the clustered/fallback regime.
+
+    ``chunks``: tuple of (wp array, row_lo, row_hi); multi-chunk lists run
+    one pallas_call per chunk (rows outside a chunk's range are zeroed
+    before summation, so split rows accumulate correctly).
+    """
+    n = pos_s.shape[0]
+    if interpret is None:
+        interpret = _use_interpret()
+    if u_s.shape[1] < PAIR_P:
+        pad = PAIR_P - u_s.shape[1]
+        u_s = jnp.pad(u_s, ((0, 0), (0, pad)))
+        v_s = jnp.pad(v_s, ((0, 0), (0, pad)))
+    np_ = _round_to(n, t)
+    nt = np_ // t
+    wrap = bool(cfg.wrap_forces)
+    params_f = pack_params(cfg)
+
+    pos32 = pos_s.astype(jnp.float32)
+    r2 = _r2_gate(cfg).astype(jnp.float32) * jnp.ones((), jnp.float32)
+    if wrap:
+        inv_w = params_f[_PF_INV_W]
+        pos32 = pos32 * inv_w
+        r2 = r2 * (inv_w * inv_w)
+    pos_p = _pad_rows(pos32, np_)
+    u_p = _pad_rows(u_s.astype(jnp.float32), np_)
+    v_p = _pad_rows(v_s.astype(jnp.float32), np_)
+    r2row = jnp.full((1, np_), -1.0, jnp.float32).at[:, :n].set(r2)
+    imask = jnp.zeros((np_, 1), jnp.float32).at[:n].set(1.0)
+    # dummy fully-masked source tile at j = nt
+    zt3 = jnp.zeros((3, t), jnp.float32)
+    ztp = jnp.zeros((u_p.shape[1], t), jnp.float32)
+    pos_tx = jnp.concatenate([pos_p.T, zt3], axis=1)
+    utx = jnp.concatenate([u_p.T, ztp], axis=1)
+    vtx = jnp.concatenate([v_p.T, ztp], axis=1)
+    r2rowx = jnp.concatenate(
+        [r2row, jnp.full((1, t), -1.0, jnp.float32)], axis=1)
+
+    out_a_total = jnp.zeros((np_, 3), jnp.float32)
+    fb = jnp.zeros((nt + 1, 3, t), jnp.float32)
+    for wp, row_lo, row_hi in chunks:
+        wp = jnp.asarray(wp)
+        out_a, out_b = _pairlist_call(
+            wp, pos_p, pos_tx, u_p, v_p, utx, vtx, r2rowx, imask, params_f,
+            cfg.force_law, wrap, t, nt, interpret)
+        if len(chunks) > 1:  # rows outside this chunk's range are garbage
+            ra = jnp.zeros((np_, 3), jnp.float32)
+            lo, hi = row_lo * t, (row_hi + 1) * t
+            out_a = ra.at[lo:hi].set(out_a[lo:hi])
+        out_a_total = out_a_total + out_a if len(chunks) > 1 else out_a
+        wj = wp & ((1 << _PACK_SHIFT) - 1)
+        fb = fb.at[wj].add(out_b)
+    f = out_a_total + jnp.transpose(fb[:nt], (0, 2, 1)).reshape(np_, 3)
+    return f[:n]

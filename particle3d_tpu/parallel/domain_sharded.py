@@ -96,7 +96,12 @@ def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
     assert nsc is not None and cap is not None, \
         "slab decomposition needs cfg.cell_grid / cfg.cell_capacity"
     if not cfg.wrap_forces:
-        raise ValueError("slab domain decomposition needs a periodic box")
+        raise ValueError(
+            "slab domain decomposition needs a periodic box (its x-halo "
+            "exchange IS the wrap ring). For walled boxes at scale use the "
+            "ring decomposition (parallel.sharded_simulate — any boundary, "
+            "O(N/D) compute/chip) or the single-chip cell/culled backends "
+            "(both support walls at any N); see USERGUIDE section 6.")
     d = mesh.shape[axis]
     if nsc % d:
         raise ValueError(f"nsc={nsc} must divide by mesh axis size {d}")

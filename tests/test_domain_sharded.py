@@ -70,12 +70,34 @@ def test_particle_conservation_under_overflow():
 def test_rejects_nonperiodic_and_indivisible():
     st, cfg = _scene()
     mesh = make_mesh(4)
-    with pytest.raises(ValueError, match="periodic"):
+    # the walls error must point to the validated routes (USERGUIDE §6)
+    with pytest.raises(ValueError, match="periodic.*ring"):
         sharded_dense_simulate(
             st, cfg.replace(wrap_forces=False), jnp.float32(0.01), 2, mesh)
     with pytest.raises(ValueError, match="divide"):
         sharded_dense_simulate(
             st, cfg.replace(cell_grid=6), jnp.float32(0.01), 2, mesh)
+
+
+def test_walled_config_routes_to_ring_sharded():
+    """Walls at scale: the documented route for walled boxes is the ring
+    decomposition — a walled config must run sharded there and match the
+    single-device trajectory (USERGUIDE §6)."""
+    from particle3d_tpu.parallel import shard_state, sharded_simulate
+    from particle3d_tpu.engine.step import simulate
+
+    cfg = reference_config(world_size=16.0).replace(
+        boundary="clamp", wrap_forces=False)
+    st = init_scene(jax.random.PRNGKey(77), 512, cfg)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 60)
+    want = simulate(st, cfg, dt, 6)
+    got = sharded_simulate(shard_state(st, mesh), cfg, dt, 6, mesh)
+    np.testing.assert_allclose(np.asarray(got.positions),
+                               np.asarray(want.positions),
+                               rtol=1e-5, atol=1e-6)
+    # particles stayed inside the walls on the sharded path
+    assert float(np.abs(np.asarray(got.positions)).max()) <= 8.0 + 1e-5
 
 
 def test_stay_sharded_carry_matches_single_call():

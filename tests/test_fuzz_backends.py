@@ -67,6 +67,20 @@ def test_backends_agree_on_random_config(case):
                                ref_pos / scale, atol=5e-4,
                                err_msg=f"pallas vs dense: {cfg}")
 
+    # the adaptive driver's fallback backend (Morton-culled triangular)
+    out = simulate(st, cfg.replace(neighbor="allpairs_culled"), dt, steps)
+    np.testing.assert_allclose(np.asarray(out.positions) / scale,
+                               ref_pos / scale, atol=5e-4,
+                               err_msg=f"culled vs dense: {cfg}")
+
+    # the stay-sorted worklist driver built on the same culling contract
+    from particle3d_tpu.engine.step import simulate_culled
+
+    out, _ = simulate_culled(st, cfg, dt, steps, window=3, t=64)
+    np.testing.assert_allclose(np.asarray(out.positions) / scale,
+                               ref_pos / scale, atol=5e-4,
+                               err_msg=f"simulate_culled vs dense: {cfg}")
+
     # cell geometry valid for the law's effective cutoff (the cell backends
     # need static geometry inside jit when the config is traced)
     w = float(np.asarray(cfg.world_size))

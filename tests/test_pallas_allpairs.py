@@ -258,3 +258,132 @@ class TestCulledBackend:
         k = np.asarray(morton_keys(pos, 16.0))
         assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
         assert (k >= 0).all()
+
+
+class TestPairlistBackend:
+    """Worklist-driven (scalar-prefetched) culled kernel + the stay-sorted
+    window driver simulate_culled: O(survivors) exact fallback."""
+
+    def _cfg(self, **kw):
+        cfg = reference_config(world_size=16.0)
+        return cfg.replace(**kw) if kw else cfg
+
+    def _pairlist_forces(self, st, cfg, t, skin=0.0):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            _pad_rows, _round_to, morton_keys, pair_survival_mask,
+            build_pair_worklist, pallas_allpairs_forces_pairlist)
+
+        u, v = F.pair_features(st, cfg)
+        order = jnp.argsort(morton_keys(st.positions, cfg.world_size))
+        ps, us, vs = st.positions[order], u[order], v[order]
+        n = st.n
+        np_ = _round_to(n, t)
+        nt = np_ // t
+        mask = pair_survival_mask(
+            _pad_rows(ps.astype(jnp.float32), np_), n, t, nt, cfg,
+            jnp.float32(skin))
+        chunks, count = build_pair_worklist(np.asarray(mask), nt, quantum=64)
+        f = pallas_allpairs_forces_pairlist(ps, us, vs, cfg, chunks, t=t)
+        return np.asarray(jnp.zeros_like(f).at[order].set(f)), count, nt
+
+    def test_matches_tri_uniform(self):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri)
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(50), 2048, cfg)
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, count, nt = self._pairlist_forces(st, cfg, t=128)
+        assert count < nt * (nt + 1) // 2  # culling fired
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - b))) / scale < 1e-5
+
+    def test_matches_tri_clustered(self):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri)
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(51), 2048, cfg)
+        pos = np.array(st.positions)
+        pos[:1024] = pos[:1024] * 0.05 + 3.0
+        st = st.replace(positions=jnp.asarray(pos))
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, count, nt = self._pairlist_forces(st, cfg, t=128)
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - b))) / scale < 1e-5
+
+    def test_matches_tri_no_wrap(self):
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri)
+
+        cfg = self._cfg(wrap_forces=False, boundary="clamp")
+        st = init_scene(jax.random.PRNGKey(52), 1500, cfg)
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, count, nt = self._pairlist_forces(st, cfg, t=64)
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - b))) / scale < 1e-5
+
+    def test_skin_admits_only_zero_pairs(self):
+        """A skin inflates the worklist but must not change the forces
+        (the in-kernel gate stays at the true cutoff)."""
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(53), 1024, cfg)
+        a, count_a, _ = self._pairlist_forces(st, cfg, t=64, skin=0.0)
+        b, count_b, _ = self._pairlist_forces(st, cfg, t=64, skin=2.0)
+        assert count_b > count_a
+        np.testing.assert_array_equal(a, b)
+
+    def test_multichunk_matches_single(self):
+        import particle3d_tpu.ops.pallas_allpairs as PA
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(54), 1024, cfg)
+        a, _, _ = self._pairlist_forces(st, cfg, t=64)
+        old = PA._WLIST_MAX
+        PA._WLIST_MAX = 48
+        try:
+            b, _, _ = self._pairlist_forces(st, cfg, t=64)
+        finally:
+            PA._WLIST_MAX = old
+        np.testing.assert_array_equal(a, b)
+
+    def test_simulate_culled_matches_allpairs(self):
+        from particle3d_tpu.engine.step import simulate, simulate_culled
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(55), 512, cfg)
+        dt = jnp.float32(1 / 60)
+        ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 12)
+        out, stats = simulate_culled(st, cfg, dt, 12, window=5, t=64)
+        assert stats["windows"] == 3  # 5 + 5 + 2 (remainder window)
+        # particle order restored: species alignment intact
+        np.testing.assert_array_equal(np.asarray(out.species),
+                                      np.asarray(st.species))
+        scale = max(1.0, float(np.max(np.abs(np.asarray(ref.positions)))))
+        np.testing.assert_allclose(np.asarray(out.positions) / scale,
+                                   np.asarray(ref.positions) / scale,
+                                   atol=5e-5)
+
+    def test_simulate_culled_rewinds_on_drift(self):
+        """A scene moving faster than the initial skin estimate must trip
+        the drift check, rewind, and still end exact."""
+        from particle3d_tpu.engine.step import simulate, simulate_culled
+
+        cfg = self._cfg(interaction_force=6.0)
+        st = init_scene(jax.random.PRNGKey(56), 256, cfg)
+        # hot start: large random velocities invalidate a zero-skin guess
+        kv = jax.random.PRNGKey(57)
+        st = st.replace(velocities=4.0 * jax.random.normal(
+            kv, (256, 3), jnp.float32))
+        dt = jnp.float32(1 / 30)
+        msgs = []
+        ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 8)
+        out, stats = simulate_culled(st, cfg, dt, 8, window=8, t=64,
+                                     verbose=msgs.append)
+        scale = max(1.0, float(np.max(np.abs(np.asarray(ref.positions)))))
+        np.testing.assert_allclose(np.asarray(out.positions) / scale,
+                                   np.asarray(ref.positions) / scale,
+                                   atol=5e-5)
