@@ -364,7 +364,33 @@ def _culled_window(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
 
     (state, mx, tot), _ = jax.lax.scan(
         body, (state, jnp.int32(0), jnp.int32(0)), None, length=num_steps)
-    return state, (mx, tot)
+    return state, jnp.stack([mx, tot])  # one transfer for both diagnostics
+
+
+@functools.partial(jax.jit, static_argnames=("t", "np_", "nt"))
+def _culled_sort_phase(state, order_total, cfg, t: int, np_: int, nt: int):
+    """Fused per-window host phase: Morton sort + full-state gather +
+    permutation compose + survivor count, in ONE dispatch (module-level
+    jit: defining this inside the driver would recompile every call — on
+    the remote-dispatch axon tunnel that cost ~12 s per simulate_culled
+    call; eager per-op dispatch costs ~40-80 ms per round trip)."""
+    from ..ops.pallas_allpairs import (
+        _pad_rows, morton_keys, pair_survival_mask)
+
+    order = jnp.argsort(morton_keys(state.positions, cfg.world_size))
+    state = jax.tree.map(lambda a: a[order], state)
+    n = state.n
+    mask = pair_survival_mask(
+        _pad_rows(state.positions.astype(jnp.float32), np_), n, t, nt, cfg)
+    return state, order_total[order], jnp.sum(mask.astype(jnp.int32))
+
+
+@jax.jit
+def _culled_unsort_phase(state, order_total):
+    n = state.n
+    inv = jnp.zeros((n,), order_total.dtype).at[order_total].set(
+        jnp.arange(n, dtype=order_total.dtype))
+    return jax.tree.map(lambda a: a[inv], state)
 
 
 def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
@@ -392,9 +418,7 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     Returns ``(state, stats)`` with state back in PARTICLE order; stats =
     dict(windows, retries, max_count, max_pair_frac, mean_pair_frac).
     """
-    from ..ops.pallas_allpairs import (
-        _round_to, _use_interpret, _WLIST_MAX, morton_keys,
-        pair_survival_mask, _pad_rows)
+    from ..ops.pallas_allpairs import _round_to, _use_interpret, _WLIST_MAX
 
     interpret = _use_interpret()
     n = state.n
@@ -405,10 +429,6 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     nt = np_ // t
     pairs_total = nt * (nt + 1) // 2
 
-    def gather(s, order):
-        return jax.tree.map(lambda a: a[order], s)
-
-    sort_key = jax.jit(lambda p: jnp.argsort(morton_keys(p, cfg.world_size)))
 
     def bucket(c):
         """Quantized static capacity: bounds recompiles to O(log) distinct
@@ -426,26 +446,24 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     max_count = 0
     max_frac = 0.0
     mean_frac_acc = 0.0
-    order_total = None  # sorted row -> original particle id, composed
+    # sorted row -> original particle id, composed across windows
+    order_total = jnp.arange(n, dtype=jnp.int32)
 
     while done < num_steps:
         k = min(window, num_steps - done)
-        order = sort_key(state.positions)
-        state = gather(state, order)
-        order_total = order if order_total is None else order_total[order]
-        if wp_cap is None:
-            # size from the SORTED state's actual survivor count (+50%
-            # slack): sorting first matters — unsorted tiles have near-box
-            # bounds and would size the cap (and every step's padded grid)
-            # several times too large
-            mask0 = pair_survival_mask(
-                _pad_rows(state.positions.astype(jnp.float32), np_), n, t,
-                nt, cfg)
-            wp_cap = bucket(int(jnp.sum(mask0.astype(jnp.int32))) * 5 // 4)
+        state, order_total, count0 = _culled_sort_phase(
+            state, order_total, cfg, t, np_, nt)
+        # size (or pre-escalate) the static capacity from the SORTED
+        # state's actual survivor count: sorting first matters — unsorted
+        # tiles have near-box bounds and would size the cap, and every
+        # step's padded grid, several times too large
+        need = bucket(int(count0) * 5 // 4)
+        if wp_cap is None or need > wp_cap:
+            wp_cap = need
         while True:
-            out, (mx, tot) = _culled_window(state, cfg, dt, k, t, wp_cap,
-                                            interpret)
-            mx = int(mx)
+            out, diag = _culled_window(state, cfg, dt, k, t, wp_cap,
+                                       interpret)
+            mx, tot = (int(x) for x in np.asarray(diag))
             max_count = max(max_count, mx)
             if mx <= wp_cap:
                 break
@@ -473,9 +491,7 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
         mean_frac_acc += int(tot) / (k * pairs_total)
         done += k
         windows += 1
-    inv = jnp.zeros((n,), order_total.dtype).at[order_total].set(
-        jnp.arange(n, dtype=order_total.dtype))
-    state = gather(state, inv)
+    state = _culled_unsort_phase(state, order_total)
     return state, {"windows": windows, "retries": retries,
                    "max_count": max_count, "max_pair_frac": max_frac,
                    "mean_pair_frac": mean_frac_acc / max(windows, 1)}

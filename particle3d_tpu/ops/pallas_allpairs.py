@@ -637,10 +637,12 @@ def culled_tile_mask(pos_sorted, n: int, t: int, cfg: SimConfig):
     """(packed mask [nt, nkw], surviving fraction) for Morton-sorted,
     zero-padded positions of ``_round_to(n, t)`` rows.
 
-    Conservative by construction: per-tile bounds come from the raw
-    coordinate box (half-diagonal radius; a tile spanning the periodic seam
-    gets a huge box and is simply never culled), pair distance uses the
-    minimum image of box centers, and the self diagonal always survives.
+    Conservative by construction: per-tile bounds come from min-image
+    deltas around each tile's first member (``tile_bounds`` — a frozen-
+    order member that wrapped across the periodic seam folds back instead
+    of blowing the box to world size; a tile genuinely spread past w/2 is
+    marked uncullable), pair distance uses the minimum image of box
+    centers, and the self diagonal always survives.
     """
     np_ = pos_sorted.shape[0]
     nt = np_ // t
@@ -648,13 +650,7 @@ def culled_tile_mask(pos_sorted, n: int, t: int, cfg: SimConfig):
     w = jnp.asarray(cfg.world_size, jnp.float32)
     cutoff = jnp.sqrt(_r2_gate(cfg)).astype(jnp.float32)
 
-    valid = (jnp.arange(np_) < n)[:, None]
-    big = jnp.float32(1e30)
-    p3 = pos_sorted.astype(jnp.float32)
-    mins = jnp.min(jnp.where(valid, p3, big).reshape(nt, t, 3), axis=1)
-    maxs = jnp.max(jnp.where(valid, p3, -big).reshape(nt, t, 3), axis=1)
-    centers = 0.5 * (mins + maxs)
-    radii = 0.5 * jnp.sqrt(jnp.sum((maxs - mins) ** 2, axis=-1))
+    centers, radii = tile_bounds(pos_sorted, n, t, cfg)
 
     i = jnp.arange(nt)[:, None]
     k = jnp.arange(nk)[None, :]
@@ -890,18 +886,37 @@ def _pairlist_call(wp, pos_p, pos_tx, u_p, v_p, utx, vtx, r2rowx, imask,
     )(wp, params_f, pos_p, pos_tx, u_p, v_p, utx, vtx, r2rowx, imask)
 
 
-def tile_bounds(pos_sorted, n: int, t: int):
+def tile_bounds(pos_sorted, n: int, t: int, cfg: SimConfig | None = None):
     """(centers [nt,3], radii [nt]) bounding spheres per tile of Morton-
-    sorted, zero-padded positions (same construction as culled_tile_mask)."""
+    sorted, zero-padded positions.
+
+    With a periodic config the box is computed in MIN-IMAGE deltas around
+    each tile's first (always-real) member: a particle that wrapped across
+    the seam mid-window would otherwise blow the raw-coordinate box up to
+    world size and make its tile survive against everyone — measured on the
+    262k preset, seam wraps inflated the surviving-pair count ~3x within an
+    8-step frozen-sort window. The fold is a true bound while the folded
+    spread stays under w/2 per axis; a tile spread wider than that (a
+    catastrophically stale sort) is marked uncullable (radius 1e30) —
+    conservative, never wrong."""
     np_ = pos_sorted.shape[0]
     nt = np_ // t
-    valid = (jnp.arange(np_) < n)[:, None]
-    big = jnp.float32(1e30)
-    p3 = pos_sorted.astype(jnp.float32)
-    mins = jnp.min(jnp.where(valid, p3, big).reshape(nt, t, 3), axis=1)
-    maxs = jnp.max(jnp.where(valid, p3, -big).reshape(nt, t, 3), axis=1)
-    centers = 0.5 * (mins + maxs)
+    valid = (jnp.arange(np_) < n).reshape(nt, t, 1)
+    p3 = pos_sorted.astype(jnp.float32).reshape(nt, t, 3)
+    wrap = cfg is not None and bool(cfg.wrap_forces)
+    anchor = p3[:, 0:1, :]  # tile row 0: always a real particle
+    d = p3 - anchor
+    if wrap:
+        w = jnp.asarray(cfg.world_size, jnp.float32)
+        d = d - jnp.round(d / w) * w
+    d = jnp.where(valid, d, 0.0)  # padding rows sit on the anchor
+    mins = jnp.min(d, axis=1)
+    maxs = jnp.max(d, axis=1)
+    centers = anchor[:, 0, :] + 0.5 * (mins + maxs)
     radii = 0.5 * jnp.sqrt(jnp.sum((maxs - mins) ** 2, axis=-1))
+    if wrap:
+        bad = jnp.any(maxs - mins >= 0.5 * w, axis=-1)
+        radii = jnp.where(bad, jnp.float32(1e30), radii)
     return centers, radii
 
 
@@ -916,7 +931,7 @@ def pair_survival_mask(pos_s_padded, n: int, t: int, nt: int,
     pairs contribute exactly zero)."""
     w = jnp.asarray(cfg.world_size, jnp.float32)
     cutoff = jnp.sqrt(_r2_gate(cfg)).astype(jnp.float32) + skin
-    centers, radii = tile_bounds(pos_s_padded, n, t)
+    centers, radii = tile_bounds(pos_s_padded, n, t, cfg)
     d = centers[:, None, :] - centers[None, :, :]
     if cfg.wrap_forces:
         d = d - jnp.round(d / w) * w
