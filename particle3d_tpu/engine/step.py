@@ -423,8 +423,16 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     interpret = _use_interpret()
     n = state.n
     if t is None:
-        t = 256
+        # measured on the v5e (docs/PERF.md "Worklist-driven culled sweep"):
+        # t=256 fastest at 262k (124 ms/sweep), t=512 fastest at 1M (575 ms
+        # — the bigger worklist amortizes; t must stay a multiple of 128)
+        t = 256 if n <= (1 << 19) else 512
     t = min(t, max(8, -(-n // 8) * 8))
+    if not interpret:
+        # Mosaic wants the tile minor dim a multiple of 128: a T=224
+        # attempt sent the compiler into a pathological multi-minute
+        # compile (docs/PERF.md) — never emit unaligned tiles on hardware
+        t = max(128, -(-t // 128) * 128)
     np_ = _round_to(n, t)
     nt = np_ // t
     pairs_total = nt * (nt + 1) // 2

@@ -350,6 +350,44 @@ class TestPairlistBackend:
             PA._WLIST_MAX = old
         np.testing.assert_array_equal(a, b)
 
+    def test_tile_bounds_min_image_seam(self):
+        """A tile whose members straddle the periodic seam folds back to a
+        tight bounding sphere (a raw-coordinate box would span the world
+        and the tile would survive against everyone — measured ~3x pair
+        inflation, docs/PERF.md); a tile genuinely spread wider than w/2
+        is marked uncullable instead of getting a wrong 'tight' bound."""
+        from particle3d_tpu.ops.pallas_allpairs import tile_bounds
+
+        cfg = self._cfg()  # world 16, periodic
+        w, t = 16.0, 8
+        jit = 0.1 * jax.random.normal(jax.random.PRNGKey(60), (t, 3))
+        pos0 = jnp.asarray([7.9, 0.0, 0.0]) + jit       # cluster at +x seam
+        pos0 = pos0.at[:, 0].set(                        # half wrapped to -x
+            jnp.where(pos0[:, 0] > 8.0, pos0[:, 0] - w, pos0[:, 0]))
+        pos1 = jnp.zeros((t, 3)).at[1, 0].set(7.0).at[2, 0].set(-7.0)
+        centers, radii = tile_bounds(
+            jnp.concatenate([pos0, pos1]), 2 * t, t, cfg)
+        assert float(radii[0]) < 1.0       # folded tight despite the seam
+        assert float(radii[1]) > 1e29      # genuinely spread: uncullable
+
+    def test_matches_tri_seam_cluster(self):
+        """Forces stay exact when half the particles cluster ON the seam
+        (the regime the raw-box bound mis-sized)."""
+        from particle3d_tpu.ops.pallas_allpairs import (
+            pallas_allpairs_forces_tri)
+
+        cfg = self._cfg()
+        st = init_scene(jax.random.PRNGKey(61), 2048, cfg)
+        pos = np.array(st.positions)
+        pos[:1024] = pos[:1024] * 0.05 + 7.95        # hugs the +x/y/z corner
+        pos[pos > 8.0] -= 16.0                       # wrapped representative
+        st = st.replace(positions=jnp.asarray(pos))
+        u, v = F.pair_features(st, cfg)
+        a = np.asarray(pallas_allpairs_forces_tri(st.positions, u, v, cfg))
+        b, count, nt = self._pairlist_forces(st, cfg, t=128)
+        scale = float(np.max(np.abs(a)))
+        assert float(np.max(np.abs(a - b))) / scale < 1e-5
+
     def test_simulate_culled_matches_allpairs(self):
         from particle3d_tpu.engine.step import simulate, simulate_culled
 
