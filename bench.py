@@ -230,9 +230,13 @@ def main():
             from particle3d_tpu import SimConfig
 
             n2m = 2_097_152
-            nsc2 = 64
-            cap2 = 16
-            cfg2m = SimConfig(world_size=float(nsc2),
+            # measured geometry sweep (docs/PERF.md "Slab carry at 2M"):
+            # coarse 44^3 grid (cell width 1.45) + cap 64 masks ZERO
+            # particles (64^3/16 masked 38k by step 20), and a mover cap
+            # sized ~2.8x the observed 46k movers/step beats the n/8
+            # default by 25% (mover-sized ops are the rebind cost driver)
+            nsc2, cap2, mcap2 = 44, 64, 131072
+            cfg2m = SimConfig(world_size=64.0,
                               neighbor="celllist_pallas", cell_grid=nsc2,
                               cell_capacity=cap2).validate()
             mesh1 = make_mesh(1)
@@ -240,14 +244,16 @@ def main():
                                        mesh1, nsc=nsc2, cap=cap2)
             hbm = sum(int(a.nbytes) for a in jax.tree.leaves(carry))
             carry, _ = sharded_dense_steps(   # compile + warm — SAME
-                carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2, n=n2m)
+                carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2,
+                mcap=mcap2, n=n2m)
             # num_steps as the timed call: a different step count is a
             # different program, and its Mosaic compile (minutes over the
             # remote tunnel) would land inside the timed region
             float(jnp.sum(carry[0][:, 0]))
             t0 = time.perf_counter()
             carry, (mov2, mask2, limbo2, lost2, _) = sharded_dense_steps(
-                carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2, n=n2m)
+                carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2,
+                mcap=mcap2, n=n2m)
             float(jnp.sum(carry[0][:, 0]))
             sec2m = (time.perf_counter() - t0) / 10
             dev_stats = jax.devices()[0].memory_stats() or {}

@@ -67,6 +67,22 @@ def test_particle_conservation_under_overflow():
     assert float(np.abs(np.asarray(out.positions)).max()) <= 8.0 + 1e-5
 
 
+def test_tight_mover_cap_masks_but_never_loses():
+    """An undersized mover cap (bench tunes mcap to ~2.8x observed movers —
+    docs/PERF.md "Slab carry at 2M") must degrade gracefully: surplus
+    movers stay in their old slot as a REPORTED masked backlog and retry
+    on later steps; nothing is ever lost."""
+    st, cfg = _scene(n=1200, seed=9)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 15)  # fast steps -> many movers per step
+    out, (mx_mov, mx_mask, mx_limbo, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 10, mesh, mcap=4)
+    assert int(lost) == 0
+    assert int(mx_mov) > 4          # the cap genuinely overflowed...
+    assert int(mx_mask) > 0         # ...and the backlog is reported
+    assert bool(np.isfinite(np.asarray(out.positions)).all())
+
+
 def test_rejects_nonperiodic_and_indivisible():
     st, cfg = _scene()
     mesh = make_mesh(4)
