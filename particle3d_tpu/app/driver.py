@@ -72,6 +72,10 @@ class SimulationApp:
         # while cells still overflow: subsequent batches run the capacity-
         # free brute-force backend — exact, slower, honest
         self._cell_fallback = False
+        # worklist capacity learned by fallback batches (simulate_culled);
+        # a stale-large value only pads the grid, a stale-small one
+        # self-corrects by retry — reset alongside the dense layout
+        self._culled_wp_cap: int | None = None
 
     def _invalidate_dense(self) -> None:
         self._dense = None
@@ -139,8 +143,11 @@ class SimulationApp:
         else:
             from ..engine.step import simulate_culled
 
-            self.state, _ = simulate_culled(
-                self.state, self.cfg, dt, n_steps, window=n_steps)
+            self.state, stc = simulate_culled(
+                self.state, self.cfg, dt, n_steps, window=n_steps,
+                wp_cap=self._culled_wp_cap)
+            # later batches skip the first batch's rewind/re-learn cycle
+            self._culled_wp_cap = stc["wp_cap"]
         self._invalidate_dense()
         jax.block_until_ready(self.state.positions)
         self.step_index += n_steps
@@ -286,6 +293,7 @@ class SimulationApp:
         self._key, k = jax.random.split(self._key)
         self.state = resize(self.state, k, n, self.cfg)
         self._invalidate_dense()
+        self._culled_wp_cap = None  # learned cap scales with N
 
     def set_world_size(self, w: float) -> None:
         """Clamped to >= 2*radius, like the UI (main.rs:287-291)."""

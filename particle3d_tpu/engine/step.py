@@ -502,7 +502,12 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     state = _culled_unsort_phase(state, order_total)
     return state, {"windows": windows, "retries": retries,
                    "max_count": max_count, "max_pair_frac": max_frac,
-                   "mean_pair_frac": mean_frac_acc / max(windows, 1)}
+                   "mean_pair_frac": mean_frac_acc / max(windows, 1),
+                   # callers that invoke simulate_culled repeatedly (the
+                   # adaptive driver's chunks, the app's tick batches) pass
+                   # this back as wp_cap so later calls skip the rewind +
+                   # re-learn cycle the first call already paid
+                   "wp_cap": wp_cap}
 
 
 def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
@@ -549,6 +554,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     fallback = False
     done = 0
     history = []
+    culled_cap = None  # worklist capacity learned by earlier fallback chunks
     while done < num_steps:
         k = min(chunk, num_steps - done)
         if fallback:
@@ -558,9 +564,11 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
             else:
                 # stay-sorted worklist driver: no per-step argsort/gather
                 # and no dense-grid floor (see simulate_culled)
-                state, _ = simulate_culled(state, cfg, dt, k,
-                                           window=min(k, 16),
-                                           verbose=verbose)
+                state, stc = simulate_culled(state, cfg, dt, k,
+                                             window=min(k, 16),
+                                             verbose=verbose,
+                                             wp_cap=culled_cap)
+                culled_cap = stc["wp_cap"]
             done += k
             history.append((k, "allpairs", 0))
             continue
