@@ -105,6 +105,26 @@ def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
     d = mesh.shape[axis]
     if nsc % d:
         raise ValueError(f"nsc={nsc} must divide by mesh axis size {d}")
+    if interpret is None:
+        _interp_probe = _use_interpret()
+    else:
+        _interp_probe = bool(interpret)
+    if not _interp_probe:
+        # gate the halo kernel's scoped-VMEM footprint BEFORE compiling:
+        # an infeasible geometry otherwise costs a multi-minute Mosaic
+        # compile that dies in the AOT helper (observed: nsc=44 cap=96 at
+        # 16.07 MB vs the 16 MB limit). Same calibrated model the
+        # single-chip escalation ladder uses.
+        from ..ops.pallas_celllist import (
+            _VMEM_BUDGET, kernel_vmem_bytes, max_feasible_cap)
+
+        if kernel_vmem_bytes(nsc, cap) > _VMEM_BUDGET:
+            raise ValueError(
+                f"slab halo kernel at cell_grid={nsc} cell_capacity={cap} "
+                f"needs ~{kernel_vmem_bytes(nsc, cap) / 1e6:.1f} MB scoped "
+                f"VMEM (budget {_VMEM_BUDGET / 1e6:.0f} MB); largest "
+                f"feasible capacity for this grid is "
+                f"{max_feasible_cap(nsc)}")
     planes_local = nsc // d
     cols_local = planes_local * nsc
     cs = nsc * cap

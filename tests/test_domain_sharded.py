@@ -95,6 +95,17 @@ def test_rejects_nonperiodic_and_indivisible():
             st, cfg.replace(cell_grid=6), jnp.float32(0.01), 2, mesh)
 
 
+def test_vmem_infeasible_geometry_raises_before_compile():
+    """A halo-kernel geometry over the scoped-VMEM budget must raise the
+    calibrated-model error up front, not die minutes into a Mosaic compile
+    (observed on-chip: nsc=44 cap=96 at 16.07 MB vs the 16 MB limit)."""
+    st, cfg = _scene(cell_grid=44, cell_capacity=96)
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match="feasible"):
+        sharded_dense_simulate(st, cfg, jnp.float32(0.01), 2, mesh,
+                               interpret=False)
+
+
 def test_walled_config_routes_to_ring_sharded():
     """Walls at scale: the documented route for walled boxes is the ring
     decomposition — a walled config must run sharded there and match the
