@@ -9,6 +9,7 @@ from .domain import sharded_cell_simulate, sharded_dense_forces
 from .domain_sharded import (
     sharded_dense_simulate, build_sharded_dense, sharded_dense_steps,
     gather_sharded_dense, init_sharded_dense,
+    sharded_dense_adaptive, recap_sharded_dense,
 )
 from .launch import (
     initialize_distributed, mesh_shape_2level, auto_mesh_2d,
@@ -21,6 +22,8 @@ __all__ = [
     "sharded_dense_steps",
     "gather_sharded_dense",
     "init_sharded_dense",
+    "sharded_dense_adaptive",
+    "recap_sharded_dense",
     "initialize_distributed",
     "mesh_shape_2level",
     "auto_mesh_2d",

@@ -316,9 +316,14 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         n_ship = jnp.sum((boxL_p >= 0).astype(jnp.int32)) + \
             jnp.sum((boxR_p >= 0).astype(jnp.int32))
 
-        # free the slots of SHIPPED movers (first mcap rows are movers)
+        # free the slots of SHIPPED movers (first mcap rows are movers).
+        # pid alone vacates the slot: stale data rows are inert ghosts —
+        # pid=-1 makes the per-step alignment recompute set r2=-1 (force-
+        # invisible as a source, garbage-masked as a receiver) and the
+        # next placement overwrites the full row. Same src-clear elision
+        # as celllist_dense's rebind row-op diet; the ablation showed the
+        # mover-sized row scatters ARE the slab step's cost driver.
         ship_src = jnp.where(sel_ship[:mcap], idx_m, s_loc)
-        data = data.at[ship_src].set(0.0, mode="drop")
         pid = pid.at[ship_src].set(-1, mode="drop")
 
         # -- pass A: place in-slab movers (mover rows only) --------------
@@ -328,8 +333,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         src_a = jnp.where(can_a, idx_m[order_a], s_loc)
         vals_a = rows_m[order_a]
         pids_a = pid_m[order_a]
-        data = data.at[src_a].set(0.0, mode="drop")
-        pid = pid.at[src_a].set(-1, mode="drop")
+        pid = pid.at[src_a].set(-1, mode="drop")  # data src-clear elided
         data = data.at[dst_a].set(vals_a, mode="drop")
         pid = pid.at[dst_a].set(jnp.where(can_a, pids_a, -1), mode="drop")
 
@@ -593,6 +597,189 @@ def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     (data, pid, limbo_data, limbo_pid, lost), diag = run(
         data, pid, limbo_data, limbo_pid, cfg, jnp.asarray(dt, jnp.float32))
     return (data, pid, limbo_data, limbo_pid, lost_prev + lost), diag
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsc", "cap_old", "cap_new", "limbocap_new", "axis", "mesh"))
+def recap_sharded_dense(carry, cfg: SimConfig, mesh, nsc: int, cap_old: int,
+                        cap_new: int, limbocap_new: int | None = None,
+                        axis: str = AXIS):
+    """Grow a stay-sharded carry's per-cell capacity (and optionally its
+    limbo capacity) IN PLACE of a rebuild: every cell's slot block pads
+    from ``cap_old`` to ``cap_new`` rows and occupants keep their slots.
+    Limbo rows whose target cell is in-slab are DRAINED into the grown
+    cells immediately — limbo means force-frozen, so leaving them for the
+    next step's placement pass would keep the very inexactness the
+    escalation rewound for. Fully sharded — nothing is replicated. Used
+    by ``sharded_dense_adaptive``'s escalation ladder."""
+    if cap_new < cap_old:
+        raise ValueError("recap only grows: cap_new >= cap_old")
+    data, pid, limbo_data, limbo_pid, lost = carry
+    d = mesh.shape[axis]
+    lc_old = limbo_pid.shape[0] // d
+    lc_new = lc_old if limbocap_new is None else max(limbocap_new, lc_old)
+    k_loc_g = nsc // d * nsc * nsc
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  jax.tree.map(lambda _: P(), cfg)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def run(data, pid, ld, lp, cfg_in):
+        k_loc = pid.shape[0] // cap_old
+        c = data.shape[1]
+        d3 = jnp.pad(data.reshape(k_loc, cap_old, c),
+                     ((0, 0), (0, cap_new - cap_old), (0, 0)))
+        data = d3.reshape(-1, c)
+        pid = jnp.pad(pid.reshape(k_loc, cap_old),
+                      ((0, 0), (0, cap_new - cap_old)),
+                      constant_values=-1).reshape(-1)
+        ld = jnp.pad(ld, ((0, lc_new - lc_old), (0, 0)))
+        lp = jnp.pad(lp, ((0, lc_new - lc_old),), constant_values=-1)
+
+        # drain in-slab limbo rows into the grown cells (same placement
+        # rule as the step's pass B); cross-slab limbo rows stay and ship
+        # through the next step's outboxes
+        me = jax.lax.axis_index(axis)
+        cell_lo = me * k_loc_g
+        tgt = jnp.where(lp >= 0,
+                        bin_sid(ld[:, _POS], cfg_in, nsc) - cell_lo, -1)
+        valid = jnp.logical_and(lp >= 0,
+                                jnp.logical_and(tgt >= 0, tgt < k_loc))
+        order, dst, can = _assign_slots(pid, tgt, valid, k_loc, cap_new)
+        data = data.at[dst].set(ld[order], mode="drop")
+        pid = pid.at[dst].set(jnp.where(can, lp[order], -1), mode="drop")
+        keep = jnp.where(can, -1, lp[order])
+        return data, pid, ld[order], keep
+
+    data, pid, limbo_data, limbo_pid = run(data, pid, limbo_data,
+                                           limbo_pid, cfg)
+    return (data, pid, limbo_data, limbo_pid, lost)
+
+
+def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
+                           n: int, nsc: int | None = None,
+                           cap: int | None = None, mcap: int | None = None,
+                           window: int = 64, max_cap: int = 512,
+                           axis: str = AXIS, verbose=None,
+                           on_ladder_end: str = "warn"):
+    """Capacity-adaptive stay-sharded window driver — the slab counterpart
+    of ``engine.step.simulate_dense_adaptive``'s escalate-with-rewind rule
+    (clustering scenes outgrow any capacity chosen from the uniform init).
+
+    Runs ``window``-step chunks of ``sharded_dense_steps``; a window whose
+    diagnostics report trouble is REWOUND (the functional carry makes that
+    free — the pre-window pytree is still live) and re-run after growing
+    the relevant static bound:
+
+      * movers overflowed ``mcap``      → double mcap (recompile only),
+      * particles were lost past limbo  → grow limbocap 4x (``recap``),
+      * any capacity masking            → next feasible cell capacity
+        (``engine.step.escalate_cap`` — same alignment + scoped-VMEM
+        ladder as the single-chip driver), carry recapped in place.
+
+    When the cell-capacity ladder ends (no aligned capacity fits the halo
+    kernel's VMEM budget), there is no capacity-free sharded fallback:
+    ``on_ladder_end`` chooses ``"warn"`` (commit the masked window with a
+    loud message — masked particles are force-frozen for those steps,
+    never wrong or lost) or ``"raise"``.
+
+    Returns ``(carry, cap, history)``; history lists
+    ``(steps, cap, masked)`` per committed window.
+    """
+    from ..engine.step import escalate_cap
+
+    if nsc is None:
+        nsc = cfg.cell_grid
+    if cap is None:
+        cap = cfg.cell_capacity
+    d = mesh.shape[axis]
+    if mcap is None:
+        mcap = max(512, -(-max(n // (8 * d), 1) // 128) * 128)
+    done = 0
+    history = []
+    ladder_ended = False
+
+    # an overflowing initial build leaves particles in limbo, where they
+    # would be silently force-frozen for the first step before pass B
+    # drains them — escalate and drain BEFORE stepping so window 1 starts
+    # exact (mx_limbo only sees end-of-step counts, not this)
+    pre_limbo = int(jnp.sum((carry[3] >= 0).astype(jnp.int32)))
+    while pre_limbo > 0:
+        new_cap = escalate_cap(nsc, cap, max_cap)
+        if new_cap is None:
+            ladder_ended = True
+            msg = (f"[slab-adaptive] {pre_limbo} initial-build overflow "
+                   f"particles in limbo with no feasible larger capacity "
+                   f"(cell_grid={nsc}, ladder ended at cap={cap})")
+            if on_ladder_end == "raise":
+                raise RuntimeError(msg)
+            if verbose:
+                verbose(msg)
+            break
+        if verbose:
+            verbose(f"[slab-adaptive] draining {pre_limbo} initial-build "
+                    f"limbo particles: cap={cap} -> {new_cap}")
+        carry = recap_sharded_dense(carry, cfg, mesh, nsc, cap, new_cap,
+                                    axis=axis)
+        cap = new_cap
+        pre_limbo = int(jnp.sum((carry[3] >= 0).astype(jnp.int32)))
+
+    rewinds_here = 0  # consecutive rewinds at the same `done` (loop guard)
+    while done < num_steps:
+        k = min(window, num_steps - done)
+        prev = carry
+        cfg_k = cfg.replace(cell_capacity=cap)
+        carry, diag = sharded_dense_steps(carry, cfg_k, dt, k, mesh,
+                                          nsc=nsc, cap=cap, mcap=mcap,
+                                          axis=axis, n=n)
+        mov, mask, limbo, lost, _ = (int(x) for x in diag)
+        trouble = mask + limbo  # both mean force-frozen particles
+        if mov > mcap and rewinds_here < 6:
+            mcap = -(-(2 * mov) // 128) * 128
+            if verbose:
+                verbose(f"[slab-adaptive] step {done}: {mov} movers > "
+                        f"mover cap — rewinding window, mcap={mcap}")
+            carry = prev
+            rewinds_here += 1
+            continue
+        if lost > 0 and rewinds_here < 6:
+            lc = prev[3].shape[0] // d
+            if verbose:
+                verbose(f"[slab-adaptive] step {done}: {lost} lost past "
+                        f"limbo — rewinding window, limbocap={4 * lc}")
+            carry = recap_sharded_dense(prev, cfg, mesh, nsc, cap, cap,
+                                        limbocap_new=4 * lc, axis=axis)
+            rewinds_here += 1
+            continue
+        if trouble > 0 and not ladder_ended and rewinds_here < 6:
+            new_cap = escalate_cap(nsc, cap, max_cap)
+            if new_cap is not None:
+                if verbose:
+                    verbose(f"[slab-adaptive] step {done}: {mask} capacity-"
+                            f"masked + {limbo} limbo at cap={cap} — "
+                            f"rewinding window, cap={new_cap}")
+                carry = recap_sharded_dense(prev, cfg, mesh, nsc, cap,
+                                            new_cap, axis=axis)
+                cap = new_cap
+                rewinds_here += 1
+                continue
+            ladder_ended = True
+            msg = (f"[slab-adaptive] step {done}: {mask} masked + {limbo} "
+                   f"limbo with no feasible larger capacity (cell_grid="
+                   f"{nsc}, VMEM/alignment ladder ended at cap={cap}); "
+                   f"committing masked windows from here — masked/limbo "
+                   f"particles are force-frozen, never wrong or lost")
+            if on_ladder_end == "raise":
+                raise RuntimeError(msg)
+            if verbose:
+                verbose(msg)
+        done += k
+        rewinds_here = 0
+        history.append((k, cap, trouble))
+    return carry, cap, history
 
 
 @functools.partial(jax.jit, static_argnames=("axis", "mesh"))

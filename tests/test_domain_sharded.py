@@ -95,6 +95,32 @@ def test_rejects_nonperiodic_and_indivisible():
             st, cfg.replace(cell_grid=6), jnp.float32(0.01), 2, mesh)
 
 
+def test_sharded_dense_adaptive_escalates_and_matches():
+    """Tight initial capacity: the adaptive slab driver escalates with
+    rewind (draining initial-build limbo up front), commits only
+    trouble-free windows, and matches the single-device dense trajectory
+    at the final capacity."""
+    from particle3d_tpu.parallel.domain_sharded import (
+        build_sharded_dense, sharded_dense_adaptive, gather_sharded_dense)
+
+    st, cfg = _scene(n=1200, seed=5, cell_capacity=4)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    msgs = []
+    carry = build_sharded_dense(st, cfg, mesh)
+    carry, cap, hist = sharded_dense_adaptive(
+        carry, cfg, dt, 10, mesh, n=st.n, window=5, verbose=msgs.append)
+    assert cap > 4                         # the ladder actually climbed
+    assert all(t == 0 for _, _, t in hist)  # every committed window exact
+    assert sum(k for k, _, _ in hist) == 10
+    out = gather_sharded_dense(carry, st, mesh)
+    ref, _ = simulate_dense(st, cfg.replace(cell_capacity=cap), dt, 10,
+                            cap=cap)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_vmem_infeasible_geometry_raises_before_compile():
     """A halo-kernel geometry over the scoped-VMEM budget must raise the
     calibrated-model error up front, not die minutes into a Mosaic compile
