@@ -276,100 +276,155 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         sid_new = bin_sid(data[:, _POS], cfg_in, nsc)
         moved = jnp.logical_and(occupied, sid_new != cell_global_of_slot)
         n_mov = jnp.sum(moved.astype(jnp.int32))
-        idx_m = masked_indices(moved, mcap, fill_value=s_loc)
-        ok_m = idx_m < s_loc
-        idx_ms = jnp.minimum(idx_m, s_loc - 1)
-        tgt_m = jnp.where(ok_m, sid_new[idx_ms], k_glob)
-        rows_m = data[idx_ms]
-        pid_m = jnp.where(ok_m, pid[idx_ms], -1)
 
         # limbo rows re-classify every step
         tgt_l = jnp.where(limbo_pid >= 0,
                           bin_sid(limbo_data[:, _POS], cfg_in, nsc), k_glob)
 
-        all_tgt = jnp.concatenate([tgt_m, tgt_l])
-        all_rows = jnp.concatenate([rows_m, limbo_data], axis=0)
-        all_pid = jnp.concatenate([pid_m, limbo_pid])
-        all_ok = all_pid >= 0
-        tslab = jnp.minimum(all_tgt, k_glob - 1) // (g.planes_local * nsc * nsc)
-        in_slab = jnp.logical_and(all_ok, tslab == me)
-        go_left = jnp.logical_and(
-            jnp.logical_and(all_ok, ~in_slab), tslab == (me - 1) % d)
-        go_right = jnp.logical_and(
-            jnp.logical_and(jnp.logical_and(all_ok, ~in_slab), ~go_left),
-            tslab == (me + 1) % d)
+        def move_phase(mcap_e: int, migcap_e: int):
+            """Mover extraction + outbox migration + placement, with every
+            mover/outbox-sized op priced at the given static bounds. The
+            2M-point ablation (docs/PERF.md "Slab carry") showed these row
+            gathers/scatters ARE the slab step's cost — the lax.cond below
+            runs this at half size on ordinary steps."""
+            idx_m = masked_indices(moved, mcap_e, fill_value=s_loc)
+            ok_m = idx_m < s_loc
+            idx_ms = jnp.minimum(idx_m, s_loc - 1)
+            tgt_m = jnp.where(ok_m, sid_new[idx_ms], k_glob)
+            rows_m = data[idx_ms]
+            pid_m = jnp.where(ok_m, pid[idx_ms], -1)
 
-        # -- outboxes (fixed size; unselected rows stay put/masked) ------
-        def pack_box(mask):
-            bi = masked_indices(mask, migcap, fill_value=mask.shape[0])
-            ok = bi < mask.shape[0]
-            bis = jnp.minimum(bi, mask.shape[0] - 1)
-            box_d = jnp.where(ok[:, None], all_rows[bis], 0.0)
-            box_p = jnp.where(ok, all_pid[bis], -1)
-            sel = jnp.zeros((mask.shape[0] + 1,), bool).at[bi].set(
-                True, mode="drop")[:-1]
-            return box_d, box_p, sel
+            all_tgt = jnp.concatenate([tgt_m, tgt_l])
+            all_rows = jnp.concatenate([rows_m, limbo_data], axis=0)
+            all_pid = jnp.concatenate([pid_m, limbo_pid])
+            all_ok = all_pid >= 0
+            tslab = jnp.minimum(all_tgt, k_glob - 1) \
+                // (g.planes_local * nsc * nsc)
+            in_slab = jnp.logical_and(all_ok, tslab == me)
+            go_left = jnp.logical_and(
+                jnp.logical_and(all_ok, ~in_slab), tslab == (me - 1) % d)
+            go_right = jnp.logical_and(
+                jnp.logical_and(jnp.logical_and(all_ok, ~in_slab), ~go_left),
+                tslab == (me + 1) % d)
 
-        boxL_d, boxL_p, selL = pack_box(go_left)
-        boxR_d, boxR_p, selR = pack_box(go_right)
-        sel_ship = jnp.logical_or(selL, selR)
-        n_ship = jnp.sum((boxL_p >= 0).astype(jnp.int32)) + \
-            jnp.sum((boxR_p >= 0).astype(jnp.int32))
+            # -- outboxes (fixed size; unselected rows stay put/masked) --
+            def pack_box(mask):
+                bi = masked_indices(mask, migcap_e, fill_value=mask.shape[0])
+                ok = bi < mask.shape[0]
+                bis = jnp.minimum(bi, mask.shape[0] - 1)
+                box_d = jnp.where(ok[:, None], all_rows[bis], 0.0)
+                box_p = jnp.where(ok, all_pid[bis], -1)
+                sel = jnp.zeros((mask.shape[0] + 1,), bool).at[bi].set(
+                    True, mode="drop")[:-1]
+                return box_d, box_p, sel
 
-        # free the slots of SHIPPED movers (first mcap rows are movers).
-        # pid alone vacates the slot: stale data rows are inert ghosts —
-        # pid=-1 makes the per-step alignment recompute set r2=-1 (force-
-        # invisible as a source, garbage-masked as a receiver) and the
-        # next placement overwrites the full row. Same src-clear elision
-        # as celllist_dense's rebind row-op diet; the ablation showed the
-        # mover-sized row scatters ARE the slab step's cost driver.
-        ship_src = jnp.where(sel_ship[:mcap], idx_m, s_loc)
-        pid = pid.at[ship_src].set(-1, mode="drop")
+            boxL_d, boxL_p, selL = pack_box(go_left)
+            boxR_d, boxR_p, selR = pack_box(go_right)
+            sel_ship = jnp.logical_or(selL, selR)
+            n_ship = jnp.sum((boxL_p >= 0).astype(jnp.int32)) + \
+                jnp.sum((boxR_p >= 0).astype(jnp.int32))
 
-        # -- pass A: place in-slab movers (mover rows only) --------------
-        tgt_loc_m = jnp.where(in_slab[:mcap], all_tgt[:mcap] - cell_lo, -1)
-        order_a, dst_a, can_a = _assign_slots(
-            pid, tgt_loc_m, in_slab[:mcap], k_loc, cap)
-        src_a = jnp.where(can_a, idx_m[order_a], s_loc)
-        vals_a = rows_m[order_a]
-        pids_a = pid_m[order_a]
-        pid = pid.at[src_a].set(-1, mode="drop")  # data src-clear elided
-        data = data.at[dst_a].set(vals_a, mode="drop")
-        pid = pid.at[dst_a].set(jnp.where(can_a, pids_a, -1), mode="drop")
+            # free the slots of SHIPPED movers (first mcap_e rows are
+            # movers). pid alone vacates the slot: stale data rows are
+            # inert ghosts — pid=-1 makes the per-step alignment recompute
+            # set r2=-1 (force-invisible as a source, garbage-masked as a
+            # receiver) and the next placement overwrites the full row.
+            # Same src-clear elision as celllist_dense's rebind row-op
+            # diet; the ablation showed the mover-sized row scatters ARE
+            # the slab step's cost driver.
+            ship_src = jnp.where(sel_ship[:mcap_e], idx_m, s_loc)
+            pid2 = pid.at[ship_src].set(-1, mode="drop")
 
-        # -- exchange outboxes --------------------------------------------
-        inL_d = jax.lax.ppermute(boxR_d, axis, perm_fwd)
-        inL_p = jax.lax.ppermute(boxR_p, axis, perm_fwd)
-        inR_d = jax.lax.ppermute(boxL_d, axis, perm_bwd)
-        inR_p = jax.lax.ppermute(boxL_p, axis, perm_bwd)
+            # -- pass A: place in-slab movers (mover rows only) ----------
+            tgt_loc_m = jnp.where(
+                in_slab[:mcap_e], all_tgt[:mcap_e] - cell_lo, -1)
+            order_a, dst_a, can_a = _assign_slots(
+                pid2, tgt_loc_m, in_slab[:mcap_e], k_loc, cap)
+            src_a = jnp.where(can_a, idx_m[order_a], s_loc)
+            vals_a = rows_m[order_a]
+            pids_a = pid_m[order_a]
+            pid2 = pid2.at[src_a].set(-1, mode="drop")  # data src-clear elided
+            data2 = data.at[dst_a].set(vals_a, mode="drop")
+            pid2 = pid2.at[dst_a].set(
+                jnp.where(can_a, pids_a, -1), mode="drop")
 
-        # -- pass B: place arrivals + retryable limbo ---------------------
-        limbo_keep_mask = jnp.logical_and(limbo_pid >= 0, ~sel_ship[mcap:])
-        arr_d = jnp.concatenate([inL_d, inR_d, limbo_data], axis=0)
-        arr_p = jnp.concatenate(
-            [inL_p, inR_p, jnp.where(limbo_keep_mask, limbo_pid, -1)])
-        arr_tgt = jnp.where(
-            arr_p >= 0, bin_sid(arr_d[:, _POS], cfg_in, nsc) - cell_lo, -1)
-        arr_valid = jnp.logical_and(
-            arr_p >= 0, jnp.logical_and(arr_tgt >= 0, arr_tgt < k_loc))
-        order_b, dst_b, can_b = _assign_slots(
-            pid, arr_tgt, arr_valid, k_loc, cap)
-        data = data.at[dst_b].set(arr_d[order_b], mode="drop")
-        pid = pid.at[dst_b].set(
-            jnp.where(can_b, arr_p[order_b], -1), mode="drop")
+            # -- exchange outboxes ---------------------------------------
+            inL_d = jax.lax.ppermute(boxR_d, axis, perm_fwd)
+            inL_p = jax.lax.ppermute(boxR_p, axis, perm_fwd)
+            inR_d = jax.lax.ppermute(boxL_d, axis, perm_bwd)
+            inR_p = jax.lax.ppermute(boxL_p, axis, perm_bwd)
 
-        # -- new limbo: unplaced arrivals (incl. out-of-slab leftovers) --
-        left_p = jnp.where(can_b, -1, arr_p[order_b])
-        left_d = arr_d[order_b]
-        li2 = masked_indices(left_p >= 0, limbocap,
-                             fill_value=left_p.shape[0])
-        l_ok2 = li2 < left_p.shape[0]
-        lis = jnp.minimum(li2, left_p.shape[0] - 1)
-        limbo_data = jnp.where(l_ok2[:, None], left_d[lis], 0.0)
-        limbo_pid = jnp.where(l_ok2, left_p[lis], -1)
-        n_limbo = jnp.sum((limbo_pid >= 0).astype(jnp.int32))
-        lost = lost + jnp.maximum(
-            jnp.sum((left_p >= 0).astype(jnp.int32)) - n_limbo, 0)
+            # -- pass B: place arrivals + retryable limbo ----------------
+            limbo_keep_mask = jnp.logical_and(
+                limbo_pid >= 0, ~sel_ship[mcap_e:])
+            arr_d = jnp.concatenate([inL_d, inR_d, limbo_data], axis=0)
+            arr_p = jnp.concatenate(
+                [inL_p, inR_p, jnp.where(limbo_keep_mask, limbo_pid, -1)])
+            arr_tgt = jnp.where(
+                arr_p >= 0,
+                bin_sid(arr_d[:, _POS], cfg_in, nsc) - cell_lo, -1)
+            arr_valid = jnp.logical_and(
+                arr_p >= 0, jnp.logical_and(arr_tgt >= 0, arr_tgt < k_loc))
+            order_b, dst_b, can_b = _assign_slots(
+                pid2, arr_tgt, arr_valid, k_loc, cap)
+            data2 = data2.at[dst_b].set(arr_d[order_b], mode="drop")
+            pid2 = pid2.at[dst_b].set(
+                jnp.where(can_b, arr_p[order_b], -1), mode="drop")
+
+            # -- new limbo: unplaced arrivals (incl. out-of-slab leftovers)
+            left_p = jnp.where(can_b, -1, arr_p[order_b])
+            left_d = arr_d[order_b]
+            li2 = masked_indices(left_p >= 0, limbocap,
+                                 fill_value=left_p.shape[0])
+            l_ok2 = li2 < left_p.shape[0]
+            lis = jnp.minimum(li2, left_p.shape[0] - 1)
+            limbo_data2 = jnp.where(l_ok2[:, None], left_d[lis], 0.0)
+            limbo_pid2 = jnp.where(l_ok2, left_p[lis], -1)
+            n_limbo = jnp.sum((limbo_pid2 >= 0).astype(jnp.int32))
+            lost_inc = jnp.maximum(
+                jnp.sum((left_p >= 0).astype(jnp.int32)) - n_limbo, 0)
+            return (data2, pid2, limbo_data2, limbo_pid2, n_ship, n_limbo,
+                    lost_inc)
+
+        # Bounded-work fast path (the slab counterpart of rebind's): when
+        # this step's movers fit in mcap/2 AND each outbox direction's
+        # crossers fit in migcap/2 — ON EVERY DEVICE (pmin agreement, so
+        # the branch with its differently-shaped ppermutes is collective-
+        # consistent) — run the pipeline at half static size. masked_indices
+        # is ascending, so the half prefix provably holds every mover;
+        # results are identical to the full-size branch. Sizes stay
+        # 128-aligned for the lane-parallel compaction fast path.
+        half_m = mcap // 2 // 128 * 128
+        half_g = migcap // 2 // 128 * 128
+        if half_m >= 512 and half_g >= 128:
+            pl3 = g.planes_local * nsc * nsc
+            t_slab = jnp.minimum(sid_new, k_glob - 1) // pl3
+            cross = jnp.logical_and(moved, t_slab != me)
+            cl = jnp.logical_and(cross, t_slab == (me - 1) % d)
+            cr = jnp.logical_and(jnp.logical_and(cross, ~cl),
+                                 t_slab == (me + 1) % d)
+            l_slab = jnp.minimum(tgt_l, k_glob - 1) // pl3
+            l_out = jnp.logical_and(limbo_pid >= 0, l_slab != me)
+            ll = jnp.logical_and(l_out, l_slab == (me - 1) % d)
+            lr = jnp.logical_and(jnp.logical_and(l_out, ~ll),
+                                 l_slab == (me + 1) % d)
+            nL = jnp.sum(cl.astype(jnp.int32)) + \
+                jnp.sum(ll.astype(jnp.int32))
+            nR = jnp.sum(cr.astype(jnp.int32)) + \
+                jnp.sum(lr.astype(jnp.int32))
+            fits = jnp.logical_and(
+                n_mov <= half_m,
+                jnp.logical_and(nL <= half_g, nR <= half_g))
+            all_fit = jax.lax.pmin(fits.astype(jnp.int32), axis) > 0
+            (data, pid, limbo_data, limbo_pid, n_ship, n_limbo,
+             lost_inc) = jax.lax.cond(
+                all_fit,
+                lambda: move_phase(half_m, half_g),
+                lambda: move_phase(mcap, migcap))
+        else:
+            (data, pid, limbo_data, limbo_pid, n_ship, n_limbo,
+             lost_inc) = move_phase(mcap, migcap)
+        lost = lost + lost_inc
 
         n_mask = jnp.sum(jnp.logical_and(
             pid >= 0,

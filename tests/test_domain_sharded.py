@@ -83,6 +83,59 @@ def test_tight_mover_cap_masks_but_never_loses():
     assert bool(np.isfinite(np.asarray(out.positions)).all())
 
 
+def test_halfsize_mover_fastpath_matches():
+    """mcap=1024 enables the lax.cond half-size mover pipeline
+    (half_m=512); a calm scene keeps every device's movers/crossers under
+    the half bounds, so the HALF branch runs each step. It must be
+    bit-equal to the cond-free pipeline traced at the same effective
+    sizes (mcap=512), and match the single-device dense trajectory."""
+    st, cfg = _scene()
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    out, (mx_mov, mx_mask, mx_limbo, lost, _) = sharded_dense_simulate(
+        st, cfg, dt, 10, mesh, mcap=1024, migcap=256)
+    assert int(mx_mov) <= 512   # the half branch is the one that ran
+    assert int(lost) == 0
+    ref, _ = simulate_dense(st, cfg, dt, 10)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+    base, _ = sharded_dense_simulate(st, cfg, dt, 10, mesh,
+                                     mcap=512, migcap=256)
+    np.testing.assert_array_equal(np.asarray(out.positions),
+                                  np.asarray(base.positions))
+    np.testing.assert_array_equal(np.asarray(out.velocities),
+                                  np.asarray(base.velocities))
+
+
+def test_fastpath_burst_takes_full_branch():
+    """Engineered burst: every particle is given an x-velocity that moves
+    it 2.4-3.8 world units per step — at cell width 2 every occupant
+    changes cell (movers/device ~= occupants > half_m), and at slab width
+    4 no hop skips a slab. The predicate must fail and route through the
+    cond's FULL branch (the traced-but-cold path), exactly — verified
+    against the brute-force ground truth."""
+    st, cfg = _scene(n=4096, seed=11)
+    dt = jnp.float32(1 / 30)
+    k = jax.random.PRNGKey(42)
+    mag = jax.random.uniform(k, (4096,), minval=2.4, maxval=3.8) / dt
+    sgn = jnp.where(jax.random.bernoulli(jax.random.PRNGKey(43), 0.5,
+                                         (4096,)), 1.0, -1.0)
+    st = st.replace(velocities=jnp.stack(
+        [mag * sgn, jnp.zeros(4096), jnp.zeros(4096)], axis=1))
+    mesh = make_mesh(4)
+    out, (mx_mov, mx_mask, mx_limbo, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 4, mesh, mcap=1536)
+    assert int(mx_mov) > 768    # exceeded half_m -> full branch ran
+    assert int(mx_mask) == 0 and int(lost) == 0
+    from particle3d_tpu import simulate
+
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 4)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_rejects_nonperiodic_and_indivisible():
     st, cfg = _scene()
     mesh = make_mesh(4)
