@@ -199,6 +199,26 @@ def main():
                   f"{rel_slab:.2e}, lost 0", file=sys.stderr)
             extra["slab_halo_vs_dense_rel_err"] = rel_slab
 
+            # walled variant of the halo kernel (dead ghosts + dummy-column
+            # y map + edge-killed halo planes) — a distinct compiled program
+            # that only interpret mode exercised before this gate
+            cfgw = cfgc.replace(boundary="clamp", wrap_forces=False)
+            out_w, (_, _, _, lost_w, _) = sharded_dense_simulate(
+                stc, cfgw, dt, 4, mesh1)
+            refw, _ = simulate_dense(stc, cfgw, dt, 4)
+            scw = max(1.0, float(np.max(np.abs(np.asarray(refw.positions)))))
+            rel_wall = float(np.max(np.abs(
+                np.asarray(out_w.positions)
+                - np.asarray(refw.positions)))) / scw
+            assert int(lost_w) == 0
+            assert rel_wall < 5e-5, (
+                f"compiled-mode mismatch: WALLED slab halo kernel vs dense "
+                f"layout rel err {rel_wall:.2e}")
+            print(f"[bench] walled slab halo kernel compiled on-chip "
+                  f"(1-dev mesh, N={n}, 4 steps): rel err vs simulate_dense "
+                  f"{rel_wall:.2e}, lost 0", file=sys.stderr)
+            extra["slab_walls_vs_dense_rel_err"] = rel_wall
+
             # reference FIRST: _sharded_simulate donates its input, and on a
             # 1-device mesh shard_state's device_put aliases st's buffer —
             # donation would delete st out from under simulate()

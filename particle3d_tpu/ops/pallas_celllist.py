@@ -263,25 +263,37 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     def rec_map(c):
         return (c, 0, 0)
 
+    # non-periodic neighbor maps send out-of-range offsets to the fully-
+    # masked dummy column the caller appends LAST (aliasing a real column
+    # would double count edge pairs); in every layout that index is one
+    # past the real source columns
+    dummy_col = post_g.shape[0] - 1
+
     def nbr_map(dx, dy):
         def im(c):
             if halo:
                 plane = c // nsc + 1  # +1: source arrays lead with a halo plane
                 cy = c % nsc
-                return ((plane + dx) * nsc + (cy + dy) % nsc, 0, 0)
+                if wrap:
+                    return ((plane + dx) * nsc + (cy + dy) % nsc, 0, 0)
+                # walled slab: x neighbors stay local halo offsets (edge
+                # devices receive force-dead halo planes from the ring —
+                # parallel/domain_sharded.halo_forces masks them), but y
+                # does not wrap
+                ny = cy + dy
+                ok = (ny >= 0) & (ny < nsc)
+                return (jnp.where(ok, (plane + dx) * nsc + ny, dummy_col),
+                        0, 0)
             cx = c // nsc
             cy = c % nsc
             if wrap:
                 nx = (cx + dx) % nsc
                 ny = (cy + dy) % nsc
                 return (nx * nsc + ny, 0, 0)
-            # non-periodic: out-of-range neighbors hit the fully-masked
-            # dummy column appended at index ncol (aliasing a real column
-            # would double count edge pairs)
             nx = cx + dx
             ny = cy + dy
             ok = (nx >= 0) & (nx < nsc) & (ny >= 0) & (ny < nsc)
-            return (jnp.where(ok, nx * nsc + ny, nsc * nsc), 0, 0)
+            return (jnp.where(ok, nx * nsc + ny, dummy_col), 0, 0)
 
         return im
 

@@ -13,7 +13,12 @@ Built on the incrementally-maintained dense layout (``ops.celllist_dense``):
     packed [nsc*cs, pos|V|r2] plane buffer); the column-sweep kernel then
     runs with ``halo=True`` index maps — x neighbors are local offsets into
     the halo-extended source arrays, y and z stay periodic locally. Global
-    x periodicity IS the ring.
+    x periodicity IS the ring. Walled boxes (``wrap_forces=False``) work
+    too: the two edge slabs force-kill their wraparound halo plane (r2
+    channel), y/z use dead ghosts instead of wrapped copies, and
+    out-of-range y neighbors hit a masked dummy column — so walls are
+    supported at any N, matching the reference's boundary surface
+    (``src/lib.rs:70-127``).
   * **Rebind**: movers are classified by target slab. In-slab movers use the
     local free-slot placement (conservative currently-empty rule, see
     ``celllist_dense.rebind``). Slab-crossers are packed into fixed-size
@@ -85,6 +90,7 @@ class _Geom:
     migcap: int
     limbocap: int
     interpret: bool
+    wrap: bool
 
 
 def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
@@ -95,13 +101,6 @@ def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
         cap = cfg.cell_capacity
     assert nsc is not None and cap is not None, \
         "slab decomposition needs cfg.cell_grid / cfg.cell_capacity"
-    if not cfg.wrap_forces:
-        raise ValueError(
-            "slab domain decomposition needs a periodic box (its x-halo "
-            "exchange IS the wrap ring). For walled boxes at scale use the "
-            "ring decomposition (parallel.sharded_simulate — any boundary, "
-            "O(N/D) compute/chip) or the single-chip cell/culled backends "
-            "(both support walls at any N); see USERGUIDE section 6.")
     d = mesh.shape[axis]
     if nsc % d:
         raise ValueError(f"nsc={nsc} must divide by mesh axis size {d}")
@@ -139,7 +138,8 @@ def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
     return _Geom(d=d, nsc=nsc, cap=cap, planes_local=planes_local,
                  cols_local=cols_local, cs=cs, s_loc=cols_local * cs,
                  k_loc=cols_local * nsc, k_glob=nsc ** 3, mcap=mcap,
-                 migcap=migcap, limbocap=limbocap, interpret=bool(interpret))
+                 migcap=migcap, limbocap=limbocap, interpret=bool(interpret),
+                 wrap=bool(cfg.wrap_forces))
 
 
 def _assign_slots(pid, tgt_local, valid, k_loc: int, cap: int):
@@ -235,18 +235,45 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             [pos_d, v_d, r2_d[:, :, None]], axis=-1)  # [cols, cs, 12]
         from_left = jax.lax.ppermute(pack[cols_local - nsc:], axis, perm_fwd)
         from_right = jax.lax.ppermute(pack[:nsc], axis, perm_bwd)
+        if not g.wrap:
+            # walled box: the ring's wraparound edge planes are not real
+            # neighbors — device 0's left halo (from device d-1) and device
+            # d-1's right halo (from device 0) are force-killed via their
+            # r2 channel. Interior devices keep their halos untouched.
+            from_left = from_left.at[..., -1].set(jnp.where(
+                me == 0, -1.0, from_left[..., -1]))
+            from_right = from_right.at[..., -1].set(jnp.where(
+                me == d - 1, -1.0, from_right[..., -1]))
         ext = jnp.concatenate([from_left, pack, from_right], axis=0)
         pos_e, v_e, r2_e = ext[..., :3], ext[..., 3:3 + PAIR_P], ext[..., 3 + PAIR_P]
-        pos_g = jnp.concatenate(
-            [pos_e[:, cs - cap:], pos_e, pos_e[:, :cap]], axis=1)
-        v_g = jnp.concatenate(
-            [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
-        r2_gh = jnp.concatenate(
-            [r2_e[:, cs - cap:], r2_e, r2_e[:, :cap]], axis=1)
+        if g.wrap:
+            pos_g = jnp.concatenate(
+                [pos_e[:, cs - cap:], pos_e, pos_e[:, :cap]], axis=1)
+            v_g = jnp.concatenate(
+                [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
+            r2_gh = jnp.concatenate(
+                [r2_e[:, cs - cap:], r2_e, r2_e[:, :cap]], axis=1)
+        else:
+            # dead z ghosts (no z wrap), plus the fully-masked dummy
+            # column the kernel's out-of-range y neighbors point at
+            ncol_e = cols_local + 2 * nsc
+            zpad3 = jnp.zeros((ncol_e, cap, 3), jnp.float32)
+            zpadp = jnp.zeros((ncol_e, cap, PAIR_P), jnp.float32)
+            mpad = jnp.full((ncol_e, cap), -1.0, jnp.float32)
+            pos_g = jnp.concatenate([zpad3, pos_e, zpad3], axis=1)
+            v_g = jnp.concatenate([zpadp, v_e, zpadp], axis=1)
+            r2_gh = jnp.concatenate([mpad, r2_e, mpad], axis=1)
+            gl = cs + 2 * cap
+            pos_g = jnp.concatenate(
+                [pos_g, jnp.zeros((1, gl, 3), jnp.float32)], axis=0)
+            v_g = jnp.concatenate(
+                [v_g, jnp.zeros((1, gl, PAIR_P), jnp.float32)], axis=0)
+            r2_gh = jnp.concatenate(
+                [r2_gh, jnp.full((1, gl), -1.0, jnp.float32)], axis=0)
         out = _call(pos_d, dat[:, _U].reshape(cols_local, cs, PAIR_P),
                     jnp.transpose(pos_g, (0, 2, 1)),
                     jnp.transpose(v_g, (0, 2, 1)),
-                    r2_gh[:, None, :], params_f, cfg_in.force_law, True,
+                    r2_gh[:, None, :], params_f, cfg_in.force_law, g.wrap,
                     nsc, cap, g.interpret, halo=True)
         return out.reshape(-1, 3)
 
@@ -485,7 +512,8 @@ def sharded_dense_simulate(state: ParticleState, cfg: SimConfig, dt,
 
     Returns ``(final_state, (max_movers, max_masked, max_limbo, lost,
     shipped_total))`` — per-device maxima / totals psum-reduced over the
-    mesh. Requires ``cfg.wrap_forces`` and ``nsc % mesh_size == 0``.
+    mesh. Requires ``nsc % mesh_size == 0``; periodic and walled boxes
+    both supported.
     """
     n = state.positions.shape[0]
     g = _geometry(cfg, mesh, n, nsc, cap, mcap, migcap, limbocap, axis,

@@ -136,16 +136,46 @@ def test_fastpath_burst_takes_full_branch():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_rejects_nonperiodic_and_indivisible():
+def test_rejects_indivisible_grid():
     st, cfg = _scene()
     mesh = make_mesh(4)
-    # the walls error must point to the validated routes (USERGUIDE §6)
-    with pytest.raises(ValueError, match="periodic.*ring"):
-        sharded_dense_simulate(
-            st, cfg.replace(wrap_forces=False), jnp.float32(0.01), 2, mesh)
     with pytest.raises(ValueError, match="divide"):
         sharded_dense_simulate(
             st, cfg.replace(cell_grid=6), jnp.float32(0.01), 2, mesh)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_walled_box_slab_matches_dense(ndev):
+    """Walls at any N on the slab path (reference supports walls at any
+    scale, ``src/lib.rs:70-127``): a clamped, non-periodic config must run
+    state-sharded and match the single-device dense trajectory — the two
+    edge slabs kill their wraparound halo plane, y/z ghosts are dead."""
+    st, cfg = _scene(seed=21, boundary="clamp", wrap_forces=False)
+    mesh = make_mesh(ndev)
+    dt = jnp.float32(1 / 30)
+    ref, _ = simulate_dense(st, cfg, dt, 10)
+    out, (mx_mov, mx_mask, mx_limbo, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 10, mesh)
+    assert int(lost) == 0
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+    # particles stayed inside the walls on the sharded path
+    assert float(np.abs(np.asarray(out.positions)).max()) <= 8.0 + 1e-5
+
+
+def test_walled_slab_matches_brute_force():
+    """Walled slab path vs the capacity-free brute-force ground truth."""
+    st, cfg = _scene(n=300, seed=23, boundary="clamp", wrap_forces=False)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    out, _ = sharded_dense_simulate(st, cfg, dt, 8, mesh)
+    from particle3d_tpu import simulate
+
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 8)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_dense_adaptive_escalates_and_matches():
@@ -185,10 +215,10 @@ def test_vmem_infeasible_geometry_raises_before_compile():
                                interpret=False)
 
 
-def test_walled_config_routes_to_ring_sharded():
-    """Walls at scale: the documented route for walled boxes is the ring
-    decomposition — a walled config must run sharded there and match the
-    single-device trajectory (USERGUIDE §6)."""
+def test_walled_config_on_ring_sharded():
+    """Walls on the ring decomposition (the boundary-agnostic alternative
+    to the walled slab path, USERGUIDE §6): a walled config must run
+    sharded there and match the single-device trajectory."""
     from particle3d_tpu.parallel import shard_state, sharded_simulate
     from particle3d_tpu.engine.step import simulate
 
