@@ -45,7 +45,11 @@ def sharded_dense_forces(layout: CellLayout, pos_flat, cfg: SimConfig,
     cfg.wrap_forces=True and nsc divisible by the mesh axis size.
     """
     if not cfg.wrap_forces:
-        raise ValueError("sharded cell forces support periodic boxes only")
+        raise ValueError(
+            "the column-roll compute decomposition supports periodic boxes "
+            "only (its x-rotation relies on wrap symmetry); walled boxes "
+            "run sharded via parallel.domain_sharded (state-sharded slabs, "
+            "any N) or parallel.sharded_simulate (ring)")
     if interpret is None:
         interpret = _use_interpret()
     d = jax.lax.axis_size(axis)
