@@ -100,12 +100,88 @@ class OrbaxCheckpointer:
             meta = json.load(f)
         if meta.get("format_version") != _FORMAT_VERSION:
             raise ValueError(f"unsupported orbax checkpoint version in {step_dir}")
+        if meta.get("kind") == "slab_carry":
+            raise ValueError(
+                f"checkpoint at step {step} is a stay-sharded slab carry — "
+                f"use restore_carry(mesh)")
         tree = self._ckptr.restore(os.path.join(step_dir, "state"))
         state = _state_from_tree(tree)
         if sharding is not None:
             state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
         cfg = _config_from_jsonable(meta["config"])
         return state, cfg, meta["step_index"]
+
+    # -- stay-sharded slab carry (parallel/domain_sharded.py) ---------------
+    # A config-5-scale run (16M over a pod) must checkpoint WITHOUT ever
+    # replicating: the carry's arrays are saved with their shardings (each
+    # host writes only its own slab rows) and restored sharded onto a mesh.
+
+    def save_carry(self, step: int, carry, cfg: SimConfig, *, nsc: int,
+                   cap: int, n: int, extra: dict | None = None) -> str:
+        """Save a stay-sharded slab carry ``(data, pid, limbo_data,
+        limbo_pid, lost)`` plus the slab geometry needed to resume
+        (``sharded_dense_steps`` takes nsc/cap/n as static args)."""
+        data, pid, limbo_data, limbo_pid, lost = carry
+        tree = {"data": data, "pid": pid, "limbo_data": limbo_data,
+                "limbo_pid": limbo_pid, "lost": lost}
+        step_dir = os.path.join(self.directory, f"{int(step):010d}")
+        os.makedirs(step_dir, exist_ok=True)
+        meta = {
+            "format_version": _FORMAT_VERSION,
+            "kind": "slab_carry",
+            "step_index": int(step),
+            "config": _config_to_jsonable(cfg),
+            "slab": {"nsc": int(nsc), "cap": int(cap), "n": int(n)},
+            "shapes": {k: [list(v.shape), str(v.dtype)]
+                       for k, v in tree.items()},
+            "extra": extra or {},
+        }
+        with open(os.path.join(step_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        self._ckptr.save(os.path.join(step_dir, "state"), tree, force=True)
+        return step_dir
+
+    def restore_carry(self, mesh=None, step: int | None = None,
+                      axis: str = "shard"):
+        """-> (carry, config, slab_geometry, step_index). With ``mesh``,
+        every carry array is restored SHARDED over ``axis`` (each host
+        reads only its slab rows — no replicated stage); ``lost`` stays
+        replicated."""
+        ocp = _ocp()
+        if step is None:
+            all_steps = self.steps()
+            if not all_steps:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.directory}")
+            step = all_steps[-1]
+        step_dir = os.path.join(self.directory, f"{int(step):010d}")
+        with open(os.path.join(step_dir, "meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported orbax checkpoint version in {step_dir}")
+        if meta.get("kind") != "slab_carry":
+            raise ValueError(
+                f"checkpoint at step {step} is a state snapshot, not a "
+                f"slab carry — use restore()")
+        kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def abstract(name):
+                shape, dtype = meta["shapes"][name]
+                spec = P() if name == "lost" else P(axis)
+                return jax.ShapeDtypeStruct(
+                    tuple(shape), np.dtype(dtype),
+                    sharding=NamedSharding(mesh, spec))
+
+            target = {k: abstract(k) for k in meta["shapes"]}
+            kwargs["args"] = ocp.args.StandardRestore(target)
+        tree = self._ckptr.restore(os.path.join(step_dir, "state"), **kwargs)
+        carry = (tree["data"], tree["pid"], tree["limbo_data"],
+                 tree["limbo_pid"], tree["lost"])
+        cfg = _config_from_jsonable(meta["config"])
+        return carry, cfg, meta["slab"], meta["step_index"]
 
     def close(self) -> None:
         self.wait()

@@ -73,3 +73,49 @@ def test_sharded_restore(tmp_path):
     np.testing.assert_array_equal(np.asarray(out.positions),
                                   np.asarray(st.positions))
     ck.close()
+
+
+def test_slab_carry_checkpoint_resume(tmp_path):
+    """Stay-sharded slab carry: save mid-run with shardings, restore
+    SHARDED onto a fresh mesh (no replicated stage), continue — must match
+    the uninterrupted run bit-for-bit, and the restored arrays must carry
+    the slab sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from particle3d_tpu.parallel import make_mesh
+    from particle3d_tpu.parallel.domain_sharded import (
+        init_sharded_dense, sharded_dense_steps, gather_sharded_dense)
+
+    cfg = reference_config(world_size=16.0).replace(
+        neighbor="celllist_pallas", cell_grid=8, cell_capacity=32)
+    dt = jnp.float32(1 / 30)
+    n, nsc, cap = 512, 8, 32
+    mesh = make_mesh(8)
+    carry = init_sharded_dense(jax.random.PRNGKey(3), n, cfg, mesh,
+                               nsc=nsc, cap=cap)
+    carry, _ = sharded_dense_steps(carry, cfg, dt, 4, mesh, nsc=nsc,
+                                   cap=cap, n=n)
+
+    ck = OrbaxCheckpointer(str(tmp_path / "ck"))
+    ck.save_carry(4, carry, cfg, nsc=nsc, cap=cap, n=n)
+
+    # the state-restore API must refuse a carry checkpoint and vice versa
+    with pytest.raises(ValueError, match="slab carry"):
+        ck.restore(4)
+
+    mesh2 = make_mesh(8)
+    got, cfg2, slab, step = ck.restore_carry(mesh2, 4)
+    assert step == 4 and (slab["nsc"], slab["cap"], slab["n"]) == (nsc, cap, n)
+    want_sh = NamedSharding(mesh2, P("shard"))
+    assert got[0].sharding.is_equivalent_to(want_sh, got[0].ndim)
+
+    # continue both; trajectories must be identical
+    end_a, _ = sharded_dense_steps(carry, cfg, dt, 4, mesh, nsc=nsc,
+                                   cap=cap, n=n)
+    end_b, _ = sharded_dense_steps(got, cfg2, dt, 4, mesh2, nsc=nsc,
+                                   cap=cap, n=n)
+    base = init_scene(jax.random.PRNGKey(9), n, cfg)  # gather fill values
+    out_a = gather_sharded_dense(end_a, base, mesh)
+    out_b = gather_sharded_dense(end_b, base, mesh2)
+    np.testing.assert_array_equal(np.asarray(out_a.positions),
+                                  np.asarray(out_b.positions))
+    ck.close()
