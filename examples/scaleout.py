@@ -37,6 +37,11 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--full", action="store_true",
                    help="use the full BASELINE N (2M / 16M)")
+    p.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="slab mode: save the stay-sharded carry to DIR "
+                        "after the run (sharded Orbax save — each host "
+                        "writes only its slab rows) and, if DIR already "
+                        "holds one, RESUME from it instead of init")
     a = p.parse_args()
 
     import jax
@@ -93,8 +98,20 @@ def main():
                         neighbor="celllist_pallas", cell_grid=nsc,
                         cell_capacity=cap).validate()
         mesh = make_mesh(d)
-        carry = init_sharded_dense(jax.random.PRNGKey(0), n, cfg, mesh,
-                                   nsc=nsc, cap=cap)
+        step0 = 0
+        ck = None
+        if a.checkpoint:
+            from particle3d_tpu.utils import OrbaxCheckpointer
+
+            ck = OrbaxCheckpointer(a.checkpoint)
+            if ck.steps():
+                carry, cfg, slab, step0 = ck.restore_carry(mesh)
+                nsc, cap, n = slab["nsc"], slab["cap"], slab["n"]
+                print(f"resumed sharded carry at step {step0} "
+                      f"(nsc={nsc} cap={cap} N={n})")
+        if step0 == 0:
+            carry = init_sharded_dense(jax.random.PRNGKey(0), n, cfg, mesh,
+                                       nsc=nsc, cap=cap)
         jax.block_until_ready(carry[0])
         t0 = time.perf_counter()
         carry, (mov, mask, limbo, lost, shipped) = sharded_dense_steps(
@@ -105,6 +122,11 @@ def main():
         print(f"slab (stay-sharded): N={n} nsc={nsc} cap={cap} {a.steps} "
               f"steps in {sec:.2f}s = {a.steps/sec:.2f} steps/s; "
               f"shipped={int(shipped)} masked={int(mask)} lost={int(lost)}")
+        if ck is not None:
+            ck.save_carry(step0 + a.steps, carry, cfg, nsc=nsc, cap=cap, n=n)
+            ck.close()
+            print(f"saved sharded carry at step {step0 + a.steps} "
+                  f"-> {a.checkpoint}")
 
 
 if __name__ == "__main__":
