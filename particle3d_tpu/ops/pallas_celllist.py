@@ -185,12 +185,17 @@ def kernel_vmem_bytes(nsc: int, cap: int) -> int:
 
     27 ghosted source blocks (rows pad to 8 sublanes) + receiver pos/u and
     the output block (3/8 lanes pad to 128), times a pipelining factor
-    calibrated on the v5e's scoped-vmem OOM report: (nsc=40, cap=128)
-    measured 19.43 MB; cap=64 compiles. Used to gate capacity escalation
-    BEFORE Mosaic hits the hard 16 MB scoped limit."""
+    calibrated on the v5e's scoped-vmem OOM reports: (nsc=40, cap=128)
+    measured 19.43 MB (factor 1.55 over the raw sum) and (nsc=60, cap=64)
+    measured 16.36 MB (factor 1.75 — the shape-dependence the single-point
+    fit missed; a 1.6 factor admitted that geometry and cost a multi-minute
+    failed compile). Factor 1.76 = the observed max: every proven-good
+    geometry (44/64, 52/64, 64/48, 40/80) stays feasible, both observed
+    OOMs are rejected. Used to gate capacity escalation BEFORE Mosaic hits
+    the hard 16 MB scoped limit."""
     g = (nsc + 2) * cap
     cs = nsc * cap
-    return int(1.6 * (27 * 8 * g * 4 + 3 * 128 * cs * 4))
+    return int(1.76 * (27 * 8 * g * 4 + 3 * 128 * cs * 4))
 
 
 _VMEM_BUDGET = 15_000_000
