@@ -170,20 +170,21 @@ def dense_forces_fresh(pos_flat, ds: DenseSim, cfg: SimConfig, nsc: int,
         interpret = _use_interpret()
     ncol = nsc * nsc
     cs = nsc * cap
-    pos_d = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
-    u_d = ds.u.reshape(ncol, cs, PAIR_P)
+    pos_r = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
+    pos_d = jnp.transpose(pos_r, (0, 2, 1))  # slot-minor receiver (_call)
+    u_d = jnp.transpose(ds.u.reshape(ncol, cs, PAIR_P), (0, 2, 1))
     v_d = ds.v.reshape(ncol, cs, PAIR_P)
     r2_d = ds.r2.reshape(ncol, cs)
     wrap = bool(cfg.wrap_forces)
     if wrap:
-        pos_g = jnp.concatenate([pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], 1)
+        pos_g = jnp.concatenate([pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], 1)
         v_g = jnp.concatenate([v_d[:, cs - cap:], v_d, v_d[:, :cap]], 1)
         r2_gh = jnp.concatenate([r2_d[:, cs - cap:], r2_d, r2_d[:, :cap]], 1)
     else:
         zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
         zpadp = jnp.zeros((ncol, cap, PAIR_P), jnp.float32)
         mpad = jnp.full((ncol, cap), -1.0, jnp.float32)
-        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], 1)
+        pos_g = jnp.concatenate([zpad3, pos_r, zpad3], 1)
         v_g = jnp.concatenate([zpadp, v_d, zpadp], 1)
         r2_gh = jnp.concatenate([mpad, r2_d, mpad], 1)
         g = cs + 2 * cap
@@ -195,7 +196,7 @@ def dense_forces_fresh(pos_flat, ds: DenseSim, cfg: SimConfig, nsc: int,
     r2_g = r2_gh[:, None, :]
     out = _call(pos_d, u_d, post_g, vt_g, r2_g, pack_params(cfg),
                 cfg.force_law, wrap, nsc, cap, interpret)
-    return out.reshape(-1, 3)
+    return jnp.transpose(out, (0, 2, 1)).reshape(-1, 3)
 
 
 def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,

@@ -77,10 +77,18 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
         cols_r2 = [r[0, 0:1, win] for r in src_r2]
 
         rec = pl.ds(base, ti)
-        xi_t = rec_pos_ref[0, rec, 0:1]  # (TI, 1)
-        yi_t = rec_pos_ref[0, rec, 1:2]
-        zi_t = rec_pos_ref[0, rec, 2:3]
-        u_t = rec_u_ref[0, rec, :]       # (TI, P)
+        # receiver refs are TRANSPOSED ([1, 3|P, CS], slot-minor) so the
+        # XLA-side operands need no 128-lane padding of the tiny 3/P dim —
+        # the row-major custom-call operands otherwise materialize as
+        # slots x 512 B tiled temps (measured 42.7x/16x inflation, the
+        # single-chip HBM ceiling; docs/PERF.md). One small (3|P, TI) ->
+        # (TI, 3|P) in-kernel transpose per chunk restores the compute
+        # orientation; pair-tile work dominates it ~100x.
+        pos_t = jnp.transpose(rec_pos_ref[0, :, rec], (1, 0))  # (TI, 3)
+        xi_t = pos_t[:, 0:1]
+        yi_t = pos_t[:, 1:2]
+        zi_t = pos_t[:, 2:3]
+        u_t = jnp.transpose(rec_u_ref[0, :, rec], (1, 0))      # (TI, P)
 
         accs = []
         for sub in range(nsub):
@@ -140,7 +148,8 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
                 axis=1,
             )
             accs.append(acc * w if wrap else acc)
-        out_ref[0, rec, :] = accs[0] if nsub == 1 else jnp.concatenate(accs, 0)
+        acc_all = accs[0] if nsub == 1 else jnp.concatenate(accs, 0)
+        out_ref[0, :, rec] = jnp.transpose(acc_all, (1, 0))  # (3, TI)
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
@@ -247,11 +256,18 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     arrays carry one extra x-plane of halo columns at each end (domain
     decomposition, parallel/domain_sharded.py) — the x neighbor index is
     then a plain local offset (+nsc per plane) instead of a periodic wrap,
-    while y stays periodic within each plane."""
+    while y stays periodic within each plane.
+
+    Receiver operands and the output are SLOT-MINOR: ``pos_d [NCOL, 3,
+    CS]``, ``u_d [NCOL, P, CS]``, out ``[NCOL, 3, CS]`` — same orientation
+    as the ghosted source arrays. Row-major slot-major receiver layouts
+    ([NCOL, CS, 3]) force XLA to pad the 3/P minor dim to 128 lanes in the
+    custom-call operand temps (slots x 512 B each — measured as the
+    single-chip HBM ceiling at ~9-11M slots, docs/PERF.md)."""
     ncol = pos_d.shape[0]
     cs = nsc * cap
     g = (nsc + 2) * cap
-    p = u_d.shape[2]
+    p = u_d.shape[1]
     zr = _pick_zr(nsc, cap, require_aligned=not interpret)
     if zr2 is None or zr2 > zr or zr % zr2 or (zr2 * cap) % 8:
         zr2 = _pick_zr2(zr, cap)
@@ -304,8 +320,8 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, cs, 3), rec_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cs, p), rec_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, cs), rec_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, cs), rec_map, memory_space=pltpu.VMEM),
     ]
     for dx, dy in _OFFSETS9:
         in_specs.append(pl.BlockSpec((1, 3, g), nbr_map(dx, dy),
@@ -326,8 +342,8 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
         ),
         grid=(ncol,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, cs, 3), rec_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ncol, cs, 3), jnp.float32),
+        out_specs=pl.BlockSpec((1, 3, cs), rec_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncol, 3, cs), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -339,8 +355,9 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
 def prepare_columns(positions, u, v, cfg: SimConfig, nsc: int, cap: int):
     """Bin + sort into the column-dense ghosted layout.
 
-    Returns (pos_d [NCOL,CS,3], u_d [NCOL,CS,P], post_g [NCOL,3,G],
-    vt_g [NCOL,P,G], r2_g [NCOL,1,G], slot_particle [NCOL,CS]).
+    Returns (pos_d [NCOL,3,CS], u_d [NCOL,P,CS], post_g [NCOL,3,G],
+    vt_g [NCOL,P,G], r2_g [NCOL,1,G], slot_particle [NCOL,CS]) — receiver
+    arrays slot-minor like the sources (see ``_call``).
     """
     n = positions.shape[0]
     w = jnp.asarray(cfg.world_size, jnp.float32)
@@ -363,22 +380,24 @@ def prepare_columns(positions, u, v, cfg: SimConfig, nsc: int, cap: int):
     present = slot_particle >= 0
     safe = jnp.where(present, slot_particle, 0)
 
-    pos_d = positions[safe].reshape(ncol, cs, 3).astype(jnp.float32)
-    u_d = u[safe].reshape(ncol, cs, -1).astype(jnp.float32)
+    pos_r = positions[safe].reshape(ncol, cs, 3).astype(jnp.float32)
+    u_r = u[safe].reshape(ncol, cs, -1).astype(jnp.float32)
+    pos_d = jnp.transpose(pos_r, (0, 2, 1))
+    u_d = jnp.transpose(u_r, (0, 2, 1))
     v_d = v[safe].reshape(ncol, cs, -1).astype(jnp.float32)
     r2 = _r2_gate(cfg)
     r2_d = jnp.where(present, r2, -1.0).reshape(ncol, cs).astype(jnp.float32)
 
     wrap = bool(cfg.wrap_forces)
     if wrap:
-        pos_g = jnp.concatenate([pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
+        pos_g = jnp.concatenate([pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], axis=1)
         v_g = jnp.concatenate([v_d[:, cs - cap:], v_d, v_d[:, :cap]], axis=1)
         r2_gh = jnp.concatenate([r2_d[:, cs - cap:], r2_d, r2_d[:, :cap]], axis=1)
     else:
         zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
         zpadp = jnp.zeros((ncol, cap, v_d.shape[2]), jnp.float32)
         mpad = jnp.full((ncol, cap), -1.0, jnp.float32)
-        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], axis=1)
+        pos_g = jnp.concatenate([zpad3, pos_r, zpad3], axis=1)
         v_g = jnp.concatenate([zpadp, v_d, zpadp], axis=1)
         r2_gh = jnp.concatenate([mpad, r2_d, mpad], axis=1)
         # dummy fully-masked column for out-of-range neighbor maps
@@ -446,7 +465,8 @@ def pallas_celllist_forces(positions, u, v, cfg: SimConfig,
 
     out = jnp.zeros((n + 1, 3), positions.dtype)
     flat = jnp.where(slot_particle >= 0, slot_particle, n).reshape(-1)
-    out = out.at[flat].add(forces_d.reshape(-1, 3))
+    out = out.at[flat].add(
+        jnp.transpose(forces_d, (0, 2, 1)).reshape(-1, 3))
     return out[:n]
 
 
@@ -470,7 +490,7 @@ class CellLayout:
     """Frozen binning of particles into the column-dense layout."""
 
     slot_particle: Any  # i32 [NCOL, CS], -1 padding
-    u_d: Any            # f32 [NCOL, CS, P] cached receiver features
+    u_d: Any            # f32 [NCOL, P, CS] cached receiver features (slot-minor)
     vt_g: Any           # f32 [NCOL(+1), P, G] cached ghosted source features
     r2_g: Any           # f32 [NCOL(+1), 1, G]
     anchor: Any         # f32 [N, 3] positions at build time (drift checks)
@@ -515,21 +535,22 @@ def dense_forces(layout: CellLayout, pos_flat, cfg: SimConfig,
         interpret = _use_interpret()
     ncol = nsc * nsc
     cs = nsc * cap
-    pos_d = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
+    pos_r = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
+    pos_d = jnp.transpose(pos_r, (0, 2, 1))
     wrap = bool(cfg.wrap_forces)
     if wrap:
         pos_g = jnp.concatenate(
-            [pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
+            [pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], axis=1)
     else:
         zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
-        pos_g = jnp.concatenate([zpad3, pos_d, zpad3], axis=1)
+        pos_g = jnp.concatenate([zpad3, pos_r, zpad3], axis=1)
         pos_g = jnp.concatenate(
             [pos_g, jnp.zeros((1, cs + 2 * cap, 3), jnp.float32)], axis=0)
     post_g = jnp.transpose(pos_g, (0, 2, 1))
     params_f = pack_params(cfg)
     forces_d = _call(pos_d, layout.u_d, post_g, layout.vt_g, layout.r2_g,
                      params_f, cfg.force_law, wrap, nsc, cap, interpret)
-    return forces_d.reshape(-1, 3)
+    return jnp.transpose(forces_d, (0, 2, 1)).reshape(-1, 3)
 
 
 def drift_budget(cfg: SimConfig, nsc: int):

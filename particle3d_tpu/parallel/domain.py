@@ -60,15 +60,15 @@ def sharded_dense_forces(layout: CellLayout, pos_flat, cfg: SimConfig,
     planes_local = nsc // d
     cols_local = planes_local * nsc
 
-    pos_d = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
-    pos_g = jnp.concatenate([pos_d[:, cs - cap:], pos_d, pos_d[:, :cap]], axis=1)
+    pos_r = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
+    pos_g = jnp.concatenate([pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], axis=1)
 
     # rotate the column axis so this device's slab starts at column 0;
     # x-rotation of a periodic box preserves all neighbor relations
     shift = didx * cols_local
     roll = lambda a: jnp.roll(a, -shift, axis=0)
     post_g = jnp.transpose(roll(pos_g), (0, 2, 1))
-    rec_pos = roll(pos_d)[:cols_local]
+    rec_pos = jnp.transpose(roll(pos_r)[:cols_local], (0, 2, 1))
     rec_u = roll(layout.u_d)[:cols_local]
     vt_g = roll(layout.vt_g)
     r2_g = roll(layout.r2_g)
@@ -79,7 +79,7 @@ def sharded_dense_forces(layout: CellLayout, pos_flat, cfg: SimConfig,
     # device d owns global columns [d*cols_local, (d+1)*cols_local): the
     # all_gather concatenation in device order IS global column order
     forces_full = jax.lax.all_gather(forces_local, axis, tiled=True)
-    return forces_full.reshape(-1, 3)
+    return jnp.transpose(forces_full, (0, 2, 1)).reshape(-1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -270,12 +270,15 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                 [v_g, jnp.zeros((1, gl, PAIR_P), jnp.float32)], axis=0)
             r2_gh = jnp.concatenate(
                 [r2_gh, jnp.full((1, gl), -1.0, jnp.float32)], axis=0)
-        out = _call(pos_d, dat[:, _U].reshape(cols_local, cs, PAIR_P),
+        out = _call(jnp.transpose(pos_d, (0, 2, 1)),  # slot-minor receiver
+                    jnp.transpose(
+                        dat[:, _U].reshape(cols_local, cs, PAIR_P),
+                        (0, 2, 1)),
                     jnp.transpose(pos_g, (0, 2, 1)),
                     jnp.transpose(v_g, (0, 2, 1)),
                     r2_gh[:, None, :], params_f, cfg_in.force_law, g.wrap,
                     nsc, cap, g.interpret, halo=True)
-        return out.reshape(-1, 3)
+        return jnp.transpose(out, (0, 2, 1)).reshape(-1, 3)
 
     def body(carry, _):
         data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, \

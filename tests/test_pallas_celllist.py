@@ -149,9 +149,12 @@ def test_sub_chunked_kernel_matches_occupied(zr2):
         st.positions, u, v, cfg, nsc, cap)
     pf = pack_params(cfg)
     occ = np.asarray(sp) >= 0
-    ref = np.asarray(_call(pos_d, u_d, post_g, vt_g, r2_g, pf,
-                           cfg.force_law, True, nsc, cap, True, zr2=None))
-    out = np.asarray(_call(pos_d, u_d, post_g, vt_g, r2_g, pf,
-                           cfg.force_law, True, nsc, cap, True, zr2=zr2))
+    # _call output is slot-minor [NCOL, 3, CS]; transpose for the occ mask
+    ref = np.transpose(np.asarray(_call(
+        pos_d, u_d, post_g, vt_g, r2_g, pf,
+        cfg.force_law, True, nsc, cap, True, zr2=None)), (0, 2, 1))
+    out = np.transpose(np.asarray(_call(
+        pos_d, u_d, post_g, vt_g, r2_g, pf,
+        cfg.force_law, True, nsc, cap, True, zr2=zr2)), (0, 2, 1))
     scale = max(1e-9, float(np.max(np.abs(ref[occ]))))
     assert float(np.max(np.abs(out[occ] - ref[occ]))) / scale < 1e-5
