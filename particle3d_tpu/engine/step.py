@@ -551,6 +551,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     from ..ops.pallas_allpairs import _use_interpret
 
     interp = _use_interpret()
+    cap0 = cap
     fallback = False
     done = 0
     history = []
@@ -573,8 +574,22 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
             history.append((k, "allpairs", 0))
             continue
         cfg_k = cfg.replace(cell_capacity=cap)
-        out, (mov, mis) = simulate_dense(state, cfg_k, dt, k, nsc=nsc,
-                                         cap=cap)
+        try:
+            out, (mov, mis) = simulate_dense(state, cfg_k, dt, k, nsc=nsc,
+                                             cap=cap)
+        except Exception as e:
+            # a rung the VMEM model approved can still miss Mosaic's real
+            # scoped limit (the model is calibrated, not exact). Only an
+            # ESCALATED rung is treated as ladder-end — a failure at the
+            # user's own capacity is a config error and propagates.
+            if cap == cap0:
+                raise
+            if verbose:
+                verbose(f"[adaptive] cap={cap} failed to compile past the "
+                        f"VMEM model ({type(e).__name__}) — ladder ends, "
+                        f"falling back to the culled sweep")
+            fallback = True
+            continue
         masked = int(mis)
         if masked > 0:
             new_cap = escalate_cap(nsc, cap, max_cap)

@@ -192,35 +192,52 @@ def _pick_zr(nsc: int, cap: int, require_aligned: bool = False) -> int:
 def kernel_vmem_bytes(nsc: int, cap: int) -> int:
     """Estimated resident VMEM of one grid step of the column kernel.
 
-    27 ghosted source blocks (rows pad to 8 sublanes) + receiver pos/u and
-    the output block (3/8 lanes pad to 128), times a pipelining factor
-    calibrated on the v5e's scoped-vmem OOM reports: (nsc=40, cap=128)
-    measured 19.43 MB (factor 1.55 over the raw sum) and (nsc=60, cap=64)
-    measured 16.36 MB (factor 1.75 — the shape-dependence the single-point
-    fit missed; a 1.6 factor admitted that geometry and cost a multi-minute
-    failed compile). Factor 1.76 = the observed max: every proven-good
-    geometry (44/64, 52/64, 64/48, 40/80) stays feasible, both observed
-    OOMs are rejected. Used to gate capacity escalation BEFORE Mosaic hits
-    the hard 16 MB scoped limit."""
+    27 ghosted source blocks + 3 receiver/output blocks, all sublane-padded
+    (3/P/1 rows -> 8) since the slot-minor relayout — the receivers used to
+    lane-pad to 128 and dominated this model. Recalibrated on fresh v5e
+    probes of the relayouted kernel: (40, 320) OOMs at 16.35 MB scoped
+    (factor 1.273 over the raw sum); (40, 256), (44, 256), (60, 64) and
+    (40, 128) — both former OOM points of the OLD layout — compile.
+    Factor 1.28 with the 15.2 MB budget accepts every probed-good geometry
+    and rejects the probed OOMs. Used to gate capacity escalation BEFORE
+    Mosaic hits the hard 16 MB scoped limit; the deeper feasible caps
+    (256 at nsc=40 vs 80 pre-relayout) extend the clustering escalation
+    ladder.
+
+    The second term tracks the per-chunk working set (receiver chunk rows
+    ti = zr*cap times the window length wl = (zr+2)*cap): the blocks-only
+    model accepted (28, 288) — where alignment forces zr=4, ti=1152 — and
+    Mosaic needed 16.82 MB. With the ti*wl term (coefficient 0.8 fit on
+    that miss) every probed-good geometry passes and all three observed
+    OOMs are rejected. A model miss on an ESCALATED rung is survivable
+    anyway: ``simulate_dense_adaptive`` catches the compile failure and
+    ends the ladder."""
     g = (nsc + 2) * cap
     cs = nsc * cap
-    return int(1.76 * (27 * 8 * g * 4 + 3 * 128 * cs * 4))
+    try:
+        zr = _pick_zr(nsc, cap, require_aligned=True)
+    except ValueError:
+        return 1 << 62  # no aligned chunking: infeasible regardless
+    ti = zr * cap
+    wl = (zr + 2) * cap
+    return int(1.28 * (27 * 8 * g * 4 + 3 * 8 * cs * 4) + 0.8 * 4 * ti * wl)
 
 
-_VMEM_BUDGET = 15_000_000
+_VMEM_BUDGET = 15_200_000
 
 
 def max_feasible_cap(nsc: int) -> int:
     """Largest aligned capacity whose kernel fits the scoped-VMEM budget."""
     best = 0
     for cap in range(1, 4096):
-        if kernel_vmem_bytes(nsc, cap) > _VMEM_BUDGET:
-            break
         try:
             _pick_zr(nsc, cap, require_aligned=True)
-            best = cap
         except ValueError:
-            continue
+            continue  # no aligned chunking at this cap; larger may align
+        # NOT monotone in cap: awkward caps force larger zr (alignment),
+        # inflating the ti*wl working-set term — scan the full range
+        if kernel_vmem_bytes(nsc, cap) <= _VMEM_BUDGET:
+            best = cap
     return best
 
 

@@ -308,12 +308,14 @@ def test_vmem_gate_and_feasible_caps():
     from particle3d_tpu.ops.pallas_celllist import (
         kernel_vmem_bytes, max_feasible_cap, _VMEM_BUDGET)
 
-    # calibration anchors: (40,128) OOMed a 16MB v5e at 19.43MB; (40,64) ran
-    assert kernel_vmem_bytes(40, 128) > _VMEM_BUDGET
-    assert kernel_vmem_bytes(40, 64) < _VMEM_BUDGET
-    assert kernel_vmem_bytes(40, 64) < kernel_vmem_bytes(40, 128)
+    # post-relayout calibration anchors (slot-minor receivers): (40,320)
+    # OOMed the v5e at 16.35MB scoped; (40,256) and (44,256) compiled
+    assert kernel_vmem_bytes(40, 320) > _VMEM_BUDGET
+    assert kernel_vmem_bytes(40, 256) < _VMEM_BUDGET
+    assert kernel_vmem_bytes(44, 256) < _VMEM_BUDGET
+    assert kernel_vmem_bytes(40, 256) < kernel_vmem_bytes(40, 320)
     mf = max_feasible_cap(40)
-    assert 64 <= mf < 128
+    assert 256 <= mf < 320
 
 
 def test_adaptive_falls_back_to_allpairs_when_ladder_ends():
