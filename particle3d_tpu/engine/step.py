@@ -23,6 +23,7 @@ state, the new state is a fresh pytree.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any
 
 import jax
@@ -513,7 +514,9 @@ def simulate_culled(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
 def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                             num_steps: int, chunk: int = 64,
                             nsc: int | None = None, cap: int | None = None,
-                            max_cap: int = 512, verbose=None):
+                            max_cap: int = 512, verbose=None,
+                            probe_factor: float = 3.0,
+                            _timer=time.perf_counter):
     """Long-horizon EXACT cell-list driver with capacity escalation.
 
     A fixed ``cell_capacity`` is only exact while no cell exceeds it — and
@@ -538,6 +541,18 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     backend for the remaining windows — always exact, slower; in a scene
     clustered that hard the true in-range pair count is enormous anyway.
 
+    The ladder is also COST-AWARE, not just feasibility-bounded: measured
+    on the v5e (docs/PERF.md "Deep rungs vs the fallback"), the clustered
+    262k steady state runs at 511 ms/step on the (28, 256) rung but 147
+    ms/step on the culled fallback — deep rungs lose exactly where they
+    become necessary, while dense-UNIFORM scenes (high occupancy, nothing
+    for culling to skip) favor them. Since both are exact, the driver
+    resolves this empirically: every committed window is wall-timed, and
+    when a window at an escalated capacity runs slower than
+    ``probe_factor`` x the cheapest committed window, the next window runs
+    on the culled backend as a PROBE (committed too — no wasted compute);
+    the faster backend then serves the rest of the run.
+
     Returns ``(state, cap, history)`` where history lists
     ``(steps, cap_or_backend, masked)`` per committed window (``cap`` is
     the string ``"allpairs"`` for fallback windows, always mask-free).
@@ -556,12 +571,19 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     done = 0
     history = []
     culled_cap = None  # worklist capacity learned by earlier fallback chunks
+    best_rung_sec = None   # cheapest committed cell-window sec/step
+    probe_pending = False  # next window should try the culled backend
+    rung_sec = None        # sec/step of the window that triggered the probe
+    seen_caps = set()      # caps whose compile has been paid
+    probed_caps = set()    # rungs already raced against the culled backend
     while done < num_steps:
         k = min(chunk, num_steps - done)
-        if fallback:
+        if fallback or probe_pending:
+            t0 = _timer()
             if interp:
                 state = simulate(state, cfg.replace(neighbor="allpairs"),
                                  dt, k)
+                jax.block_until_ready(state.positions)
             else:
                 # stay-sorted worklist driver: no per-step argsort/gather
                 # and no dense-grid floor (see simulate_culled)
@@ -570,10 +592,30 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                                              verbose=verbose,
                                              wp_cap=culled_cap)
                 culled_cap = stc["wp_cap"]
+                jax.block_until_ready(state.positions)
+            sec = (_timer() - t0) / k
             done += k
             history.append((k, "allpairs", 0))
+            if probe_pending:
+                probe_pending = False
+                # first culled window pays its compile — biased AGAINST
+                # switching, which is the safe direction; a probe that wins
+                # despite the compile is decisively faster
+                if rung_sec is not None and sec < rung_sec:
+                    fallback = True
+                    if verbose:
+                        verbose(f"[adaptive] culled probe {sec*1e3:.0f} "
+                                f"ms/step beats rung cap={cap} "
+                                f"({rung_sec*1e3:.0f}) — switching to the "
+                                f"culled backend")
+                elif verbose and not fallback:
+                    verbose(f"[adaptive] culled probe {sec*1e3:.0f} ms/step "
+                            f"loses to rung cap={cap} "
+                            f"({(rung_sec or 0)*1e3:.0f}) — staying on the "
+                            f"cell path")
             continue
         cfg_k = cfg.replace(cell_capacity=cap)
+        t0 = _timer()
         try:
             out, (mov, mis) = simulate_dense(state, cfg_k, dt, k, nsc=nsc,
                                              cap=cap)
@@ -590,7 +632,8 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                         f"falling back to the culled sweep")
             fallback = True
             continue
-        masked = int(mis)
+        masked = int(mis)  # host sync: fences the window for the timer
+        sec = (_timer() - t0) / k
         if masked > 0:
             new_cap = escalate_cap(nsc, cap, max_cap)
             if new_cap is not None:
@@ -609,6 +652,32 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
         state = out
         done += k
         history.append((k, cap, masked))
+        # cost-aware switch (docstring): once this cap's compile has been
+        # paid (2nd+ window at the cap), its window time is comparable —
+        # track the cheapest, and when an escalated rung runs probe_factor
+        # slower, probe the culled backend with the next window
+        if cap in seen_caps:
+            if best_rung_sec is None or sec < best_rung_sec:
+                best_rung_sec = sec
+            # two triggers (docstring): the factor test, and ANY deep rung
+            # (>= 4x the starting capacity — a second escalation means the
+            # scene is genuinely clustering, the regime where the culled
+            # sweep measured fastest). Both cost one committed window.
+            slow = (best_rung_sec is not None
+                    and sec > probe_factor * best_rung_sec)
+            deep = cap >= 4 * cap0
+            if (cap > cap0 and cap not in probed_caps and (slow or deep)
+                    and done < num_steps):
+                probe_pending = True
+                probed_caps.add(cap)
+                rung_sec = sec
+                if verbose:
+                    why = (f"{sec/best_rung_sec:.1f}x the cheapest rung"
+                           if slow else f"deep rung (>= 4x cap0={cap0})")
+                    verbose(f"[adaptive] rung cap={cap} at {sec*1e3:.0f} "
+                            f"ms/step: {why} — probing the culled backend")
+        else:
+            seen_caps.add(cap)
     return state, cap, history
 
 

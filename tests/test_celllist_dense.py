@@ -285,6 +285,78 @@ def test_adaptive_escalation_recovers_exactness():
                                rtol=1e-3, atol=1e-4)
 
 
+class _FakeClock:
+    """Deterministic _timer injection: each call advances by the next
+    scripted delta (seconds)."""
+
+    def __init__(self, deltas):
+        self.deltas = list(deltas)
+        self.t = 0.0
+
+    def __call__(self):
+        self.t += self.deltas.pop(0) if self.deltas else 1.0
+        return self.t
+
+
+def test_adaptive_cost_probe_switches_to_culled():
+    """Cost-aware ladder: when an escalated rung's wall time exceeds
+    probe_factor x the cheapest rung, the driver probes the culled backend
+    with the next (committed) window and, if the probe is faster, serves
+    the rest of the run with it. probe_factor=0 makes the first eligible
+    rung window trigger; a strictly-DECREASING fake clock makes the probe
+    read faster than the rung -> deterministic switch."""
+    from particle3d_tpu.engine.step import simulate_dense_adaptive
+
+    cfg = _cfg(cell_capacity=2).replace(
+        interaction_force=4.0,
+        attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
+    st = init_scene(jax.random.PRNGKey(31), 600, cfg)
+    dt = jnp.float32(1 / 30)
+    clock = _FakeClock([100.0 / (i + 1) for i in range(200)])
+    msgs = []
+    out, cap, hist = simulate_dense_adaptive(
+        st, cfg, dt, 60, chunk=10, verbose=msgs.append,
+        probe_factor=0.0, _timer=clock)
+    backends = [c for _, c, _ in hist]
+    assert any("probing the culled backend" in m for m in msgs)
+    assert any("switching to the culled" in m for m in msgs)
+    # sticky: after the switch every window is culled
+    i = backends.index("allpairs")
+    assert all(b == "allpairs" for b in backends[i:])
+    assert all(masked == 0 for _, _, masked in hist)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 60)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_adaptive_cost_probe_stays_when_rung_wins():
+    """The reverse race: a strictly-INCREASING clock makes the probe read
+    slower than the rung — the driver must NOT switch, and the rest of the
+    run stays on the (exact) cell path."""
+    from particle3d_tpu.engine.step import simulate_dense_adaptive
+
+    cfg = _cfg(cell_capacity=2).replace(
+        interaction_force=4.0,
+        attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
+    st = init_scene(jax.random.PRNGKey(31), 600, cfg)
+    dt = jnp.float32(1 / 30)
+    clock = _FakeClock([float(i + 1) for i in range(200)])
+    msgs = []
+    out, cap, hist = simulate_dense_adaptive(
+        st, cfg, dt, 60, chunk=10, verbose=msgs.append,
+        probe_factor=0.0, _timer=clock)
+    assert any("probing the culled backend" in m for m in msgs)
+    assert not any("switching to the culled" in m for m in msgs)
+    backends = [c for _, c, _ in hist]
+    assert backends[-1] != "allpairs"  # ended back on the cell path
+    assert all(masked == 0 for _, _, masked in hist)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 60)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_app_escalates_capacity_on_clustered_batch():
     from particle3d_tpu.app.driver import SimulationApp
 
