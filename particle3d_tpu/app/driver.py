@@ -76,9 +76,55 @@ class SimulationApp:
         # a stale-large value only pads the grid, a stale-small one
         # self-corrects by retry — reset alongside the dense layout
         self._culled_wp_cap: int | None = None
+        # recovery probe throttle (see _maybe_recover): escalation and
+        # fallback must not be a one-way door — live controls can disperse
+        # the scene back into the cheap regime
+        self._recheck = False
+        self._degraded_batches = 0
 
     def _invalidate_dense(self) -> None:
+        """Called by every scene-changing live control: drops the persisted
+        layout AND flags the degraded-mode recovery probe (a control edit is
+        the strongest signal the clustering regime may have ended)."""
         self._dense = None
+        self._recheck = True
+
+    def _maybe_recover(self) -> None:
+        """Un-stick escalation/fallback when the scene no longer needs it.
+
+        ``_cap_escalated`` / ``_cell_fallback`` are sticky by design (a
+        clustered scene overflows every smaller capacity again immediately),
+        but scenes change — the user edits the attraction matrix, shrinks
+        the radius, adds particles — and the reference app never degrades
+        permanently. Probe: rebuild the BASE-geometry layout once and count
+        drops; a drop-free build means the occupancy that forced the ladder
+        up is gone, so reset to the cheap rung and ADOPT the built layout
+        (no second build). Throttled to every 32nd degraded batch — or the
+        next batch after any scene-changing control — so this never becomes
+        the per-tick O(N) pre-probe run_steps' docstring forswears. A probe
+        that resets too eagerly only costs a rewound batch: the normal
+        ladder re-escalates with exactness intact.
+        """
+        if not (self._cell_fallback or self._cap_escalated):
+            return
+        self._degraded_batches += 1
+        if not (self._recheck or self._degraded_batches >= 32):
+            return
+        self._recheck = False
+        self._degraded_batches = 0
+        from ..ops.celllist_dense import build_dense
+
+        nsc, base_cap = self._cell_geometry()
+        if self._cap_escalated and base_cap >= self._cap_escalated:
+            return  # base geometry IS the escalated rung — nothing to undo
+        dense = build_dense(self.state, self.cfg, nsc, base_cap)
+        dropped = int(self.state.n
+                      - jnp.sum((dense.pid >= 0).astype(jnp.int32)))
+        if dropped == 0:
+            self._cell_fallback = False
+            self._cap_escalated = None
+            self._dense = dense
+            self._dense_geom = (nsc, base_cap)
 
     # ------------------------------------------------------------------ #
     # frame loop (C14)
@@ -148,7 +194,7 @@ class SimulationApp:
                 wp_cap=self._culled_wp_cap)
             # later batches skip the first batch's rewind/re-learn cycle
             self._culled_wp_cap = stc["wp_cap"]
-        self._invalidate_dense()
+        self._dense = None  # NOT _invalidate_dense: no control changed
         jax.block_until_ready(self.state.positions)
         self.step_index += n_steps
 
@@ -182,6 +228,7 @@ class SimulationApp:
         """
         dt = jnp.float32(1.0 / self.update_rate)
         if self.cfg.neighbor == "celllist_pallas":
+            self._maybe_recover()
             if self._cell_fallback:
                 self._run_fallback(dt, n_steps)
                 return
@@ -271,7 +318,8 @@ class SimulationApp:
                 self.state = out
                 # this path advances state outside the persisted dense
                 # layout: a cached layout would replay stale positions
-                self._invalidate_dense()
+                # (plain drop, NOT _invalidate_dense: no control changed)
+                self._dense = None
                 drift = float(np.asarray(drift))
                 self.max_drift = max(self.max_drift, drift)
                 if drift > budget:

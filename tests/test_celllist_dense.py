@@ -376,6 +376,82 @@ def test_app_escalates_capacity_on_clustered_batch():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_app_recovers_from_fallback_after_control_edit():
+    """Fallback is not a one-way door: a scene-changing control flags the
+    recovery probe, and when the base-geometry layout fits drop-free the
+    app leaves the culled fallback and resumes the cell path."""
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = _cfg()  # uniform scene, fits base capacity 32
+    st = init_scene(jax.random.PRNGKey(40), 600, cfg)
+    app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    # simulate a past clustered phase whose ladder ended
+    app._cell_fallback = True
+    app._recheck = False
+    app.set_attraction(0, 0, 0.0)  # control edit -> probe next batch
+    app.run_steps(1)
+    assert app._cell_fallback is False
+    assert app._cap_escalated is None
+    assert app.metrics()["cell_fallback"] is False
+
+
+def test_app_fallback_recovery_is_throttled():
+    """Without a control edit the probe only fires every 32nd degraded
+    batch — never the per-tick O(N) pre-probe run_steps forswears."""
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = _cfg()
+    st = init_scene(jax.random.PRNGKey(41), 600, cfg)
+    app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    app._cell_fallback = True
+    app._recheck = False
+    for _ in range(31):
+        app.run_steps(1)
+    assert app._cell_fallback is True  # probes only at the 32nd
+    app.run_steps(1)
+    assert app._cell_fallback is False
+
+
+def test_app_stays_in_fallback_while_scene_still_clustered():
+    """The probe must NOT reset when the base capacity still drops
+    particles: a genuinely clustered scene stays on the exact fallback."""
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = _cfg(cell_capacity=2).replace(
+        interaction_force=4.0,
+        attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
+    st = init_scene(jax.random.PRNGKey(42), 600, cfg)
+    app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    app.max_cap = 3  # ladder ends immediately on overflow
+    for _ in range(20):
+        app.run_steps(1)
+    assert app._cell_fallback is True
+    app.set_interaction_force(4.0)  # control edit -> probe next batch
+    app.run_steps(1)
+    assert app._cell_fallback is True  # base cap=2 still overflows
+    ref = simulate(st, cfg.replace(neighbor="allpairs"),
+                   jnp.float32(1 / 30), 21)
+    np.testing.assert_allclose(np.asarray(app.state.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_app_deescalates_capacity_when_scene_disperses():
+    """A sticky escalated capacity also resets through the same probe:
+    once the base geometry fits again, later batches run the cheap rung."""
+    from particle3d_tpu.app.driver import SimulationApp
+
+    cfg = _cfg()  # base capacity 32 fits this uniform scene
+    st = init_scene(jax.random.PRNGKey(43), 600, cfg)
+    app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    app._cap_escalated = 64  # past clustered phase escalated the rung
+    assert app.metrics()["cell_capacity"] == 64
+    app.set_attraction(0, 0, 0.0)
+    app.run_steps(1)
+    assert app._cap_escalated is None
+    assert app.metrics()["cell_capacity"] == 32
+
+
 def test_vmem_gate_and_feasible_caps():
     from particle3d_tpu.ops.pallas_celllist import (
         kernel_vmem_bytes, max_feasible_cap, _VMEM_BUDGET)
