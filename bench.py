@@ -157,8 +157,17 @@ def main():
                 f"compiled-mode mismatch: simulate_culled vs simulate_dense "
                 f"rel err {relw:.2e}")
             assert stats8["retries"] == 0 or stats8["max_count"] > 0
+            # warm the EXACT timed program first: a 16-step call is a
+            # different program from the 8-step warmup above, and its
+            # Mosaic compile (measured: ~16 s uncached) would otherwise
+            # land inside the timed region (same rule the slab bench
+            # follows); threading wp_cap skips the learn-by-rewind cycle
+            out16, stats16 = simulate_culled(out8, cfgc, dt, 16, window=8,
+                                             wp_cap=stats8["wp_cap"])
+            float(jnp.sum(out16.positions))
             t0 = time.perf_counter()
-            out16, stats16 = simulate_culled(out8, cfgc, dt, 16, window=8)
+            out16, stats16 = simulate_culled(out8, cfgc, dt, 16, window=8,
+                                             wp_cap=stats16["wp_cap"])
             float(jnp.sum(out16.positions))
             secw = (time.perf_counter() - t0) / 16
             print(f"[bench] worklist-culled fallback (simulate_culled, "
