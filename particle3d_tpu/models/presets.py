@@ -40,8 +40,10 @@ def _particle_life_large(key, n: int | None = None):
     cutoff is min(radius, 1.0) = 1.0 (reference quirk Q2); the autotuner
     (``python -m particle3d_tpu tune``) picks a COARSER 28^3 grid (cell
     width 1.43) over the minimal 40^3: double the per-cell occupancy means
-    half the padded slots, and the measured step is 42 -> 53 steps/s on a
-    v5e with zero capacity masking in the uniform phase."""
+    half the padded slots — 42.1 steps/s fenced-window on a v5e with zero
+    capacity masking in the uniform phase. Re-swept after the round-3
+    slot-minor kernel relayout: still the fastest MASK-FREE point under
+    fenced-window timing ((32,24) ties at 41.0 and masks by step 48)."""
     n = 262144 if n is None else n
     if n >= 32768:
         cfg = reference_config(world_size=40.0).replace(

@@ -5,9 +5,10 @@ fix the static shapes of the column-sweep kernel and the incremental dense
 layout, and their product drives every per-slot cost in the step. The
 sweet spot depends on N, the box, the cutoff, and how strongly the scene
 clusters — so this module measures it: it sweeps valid (nsc, cap)
-candidates ON THE CURRENT BACKEND, times the real ``simulate_dense`` step
-(slope between two chained step counts, so dispatch fences cancel), and
-reports capacity-masking diagnostics so exactness degradation is visible
+candidates ON THE CURRENT BACKEND, times fenced whole windows of the real
+``simulate_dense`` step (the cost production actually pays — see the
+``tune`` docstring for why a slope methodology mis-ranks), and ranks
+mask-free geometries first with capacity-masking diagnostics visible
 next to the speed.
 
 The reference has no analogue (its spatial hash re-buckets into N slots
@@ -80,6 +81,17 @@ def candidate_geometries(cfg, n: int, max_candidates: int = 8,
                 if feasible(nsc, cap):
                     caps.add(cap)
                     break
+        if not caps:
+            # tiny scenes: every 2-4x-occupancy cap is alignment-
+            # infeasible (e.g. N=1000 on a 10^3 grid needs cap >= 64 for
+            # zr*cap % 128 == 0) — take the minimal feasible capacity so
+            # the sweep still has a candidate; padding is the tuner's to
+            # measure, not to pre-judge
+            raw = max(2, int(-(-mean_occ * 2.0 // 1)))
+            for cap in range(raw, 513):
+                if feasible(nsc, cap):
+                    caps.add(cap)
+                    break
         for cap in sorted(caps):
             out.append((nsc, cap))
         if len(out) >= max_candidates:
@@ -87,9 +99,23 @@ def candidate_geometries(cfg, n: int, max_candidates: int = 8,
     return out[:max_candidates]
 
 
-def tune(state, cfg, dt, steps: int = 8, candidates=None, verbose=print):
+def tune(state, cfg, dt, steps: int = 16, candidates=None, verbose=print,
+         reps: int = 3):
     """Measure each candidate geometry on the live backend; returns
-    TuneResults sorted fastest-first (with masking shown, not hidden)."""
+    TuneResults ranked MASK-FREE FIRST, then fastest.
+
+    Timing is fenced whole-window (``steps``-step ``simulate_dense`` calls
+    ending in a host-forced reduction, compile excluded) — the same
+    methodology bench.py and the app's batched ticks pay, NOT a slope
+    between two step counts. An earlier slope variant ("dispatch fences
+    cancel") mis-ranked in practice: at 262k on a v5e it scored (32,24) at
+    19.0 ms/step vs (28,32) at 20.8, while fenced windows measure 24.4 vs
+    23.8 — the slope cancels exactly the per-window costs production pays.
+    Capacity-masking geometries are kept visible but rank AFTER every
+    exact one: a masked step is not the same work, so its speed is not
+    comparable (the 262k sweep's raw-fastest point, (32,16) at 12.7
+    ms/step, masks 226 particles).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -109,19 +135,14 @@ def tune(state, cfg, dt, steps: int = 8, candidates=None, verbose=print):
         cfg2 = cfg.replace(neighbor="celllist_pallas", cell_grid=nsc,
                            cell_capacity=cap)
         try:
-            t = {}
-            diag = None
-            for k in (2, 2 + steps):
-                fn = jax.jit(lambda k=k: simulate_dense(state, cfg2, dt, k))
-                out, d = fn()
+            fn = jax.jit(lambda: simulate_dense(state, cfg2, dt, steps))
+            out, diag = fn()  # compile + warm (and the masking diagnostic)
+            fenced(out.positions)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out, _ = fn()
                 fenced(out.positions)
-                diag = d
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    out, _ = fn()
-                    fenced(out.positions)
-                t[k] = (time.perf_counter() - t0) / 3
-            sec = max((t[2 + steps] - t[2]) / steps, 1e-9)
+            sec = max((time.perf_counter() - t0) / reps / steps, 1e-9)
             res = TuneResult(
                 nsc=nsc, cap=cap, ms_per_step=sec * 1e3,
                 steps_per_s=1.0 / sec,
@@ -136,5 +157,5 @@ def tune(state, cfg, dt, steps: int = 8, candidates=None, verbose=print):
             if verbose:       # and keep sweeping — a sweep must not die
                 verbose(f"[tune] nsc={nsc} cap={cap} failed: "
                         f"{str(e).splitlines()[0][:120]}")
-    results.sort(key=lambda r: r.ms_per_step)
+    results.sort(key=lambda r: (r.capacity_masked > 0, r.ms_per_step))
     return results

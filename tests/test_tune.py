@@ -33,6 +33,8 @@ def test_tune_runs_and_ranks():
     results = tune(st, cfg, jnp.float32(1 / 60), steps=2,
                    candidates=cands, verbose=None)
     assert len(results) == 2
-    assert results[0].ms_per_step <= results[1].ms_per_step
+    # ranking: mask-free first, then fastest
+    key = [(r.capacity_masked > 0, r.ms_per_step) for r in results]
+    assert key == sorted(key)
     for r in results:
         assert r.steps_per_s > 0
