@@ -206,9 +206,12 @@ def test_sharded_dense_adaptive_escalates_and_matches():
 
 def test_vmem_infeasible_geometry_raises_before_compile():
     """A halo-kernel geometry over the scoped-VMEM budget must raise the
-    calibrated-model error up front, not die minutes into a Mosaic compile
-    (observed on-chip: nsc=44 cap=96 at 16.07 MB vs the 16 MB limit)."""
-    st, cfg = _scene(cell_grid=44, cell_capacity=96)
+    calibrated-model error up front, not die minutes into a Mosaic compile.
+    Pinned to (40, 320) — a fresh-probe OOM of the slot-minor layout
+    (16.35 MB scoped vs the 16 MB limit; model: 19.1 MB > 15.2 budget).
+    The previous pin, (44, 96), was an OOM of the OLD padded receiver
+    layout and became genuinely feasible after the relayout."""
+    st, cfg = _scene(cell_grid=40, cell_capacity=320)
     mesh = make_mesh(4)
     with pytest.raises(ValueError, match="feasible"):
         sharded_dense_simulate(st, cfg, jnp.float32(0.01), 2, mesh,
