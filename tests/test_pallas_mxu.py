@@ -18,6 +18,19 @@ from particle3d_tpu.ops.pallas_allpairs_mxu import (
     _build_ghosts)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """Full-suite runs segfault inside XLA:CPU ``backend_compile_and_load``
+    when this module's interpret-mode MXU program is compiled after the
+    ~180 programs the preceding test files accumulate (order-dependent:
+    this module passes solo and in every two-file pairing tried — the
+    trigger is cumulative compiler/JIT state, not any specific test).
+    Dropping the executable + tracing caches before the first MXU compile
+    keeps the suite green in one process."""
+    jax.clear_caches()
+    yield
+
+
 def _scene(seed, n, cfg):
     rng = np.random.default_rng(seed)
     half = float(np.asarray(cfg.world_size)) / 2
