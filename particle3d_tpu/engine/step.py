@@ -277,13 +277,16 @@ def next_feasible_cap(nsc: int, cap: int) -> int:
     if _use_interpret():
         return cap
     for c in range(cap, 16 * cap + 1):
-        if kernel_vmem_bytes(nsc, c) > _VMEM_BUDGET:
-            break
+        # alignment first: misaligned caps get the 1<<62 sentinel from
+        # kernel_vmem_bytes, and the model is NOT monotone in cap (awkward
+        # caps force larger zr, inflating the working-set term — see
+        # max_feasible_cap), so neither failure may end the scan early
         try:
             _pick_zr(nsc, c, require_aligned=True)
-            return c
         except ValueError:
             continue
+        if kernel_vmem_bytes(nsc, c) <= _VMEM_BUDGET:
+            return c
     raise ValueError(f"no feasible capacity >= {cap} for cell_grid={nsc} "
                      f"(alignment or scoped-VMEM limit)")
 

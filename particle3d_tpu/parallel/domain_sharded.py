@@ -115,8 +115,13 @@ def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
         # 16.07 MB vs the 16 MB limit). Same calibrated model the
         # single-chip escalation ladder uses.
         from ..ops.pallas_celllist import (
-            _VMEM_BUDGET, kernel_vmem_bytes, max_feasible_cap)
+            _VMEM_BUDGET, _pick_zr, kernel_vmem_bytes, max_feasible_cap)
 
+        # alignment first: kernel_vmem_bytes returns a 1<<62 sentinel for
+        # caps with no 128-lane-aligned z-chunking, and reporting that as
+        # "needs ~4.6e9 MB VMEM" buries the real (alignment) problem —
+        # let _pick_zr raise its working-capacities error instead
+        _pick_zr(nsc, cap, require_aligned=True)
         if kernel_vmem_bytes(nsc, cap) > _VMEM_BUDGET:
             raise ValueError(
                 f"slab halo kernel at cell_grid={nsc} cell_capacity={cap} "

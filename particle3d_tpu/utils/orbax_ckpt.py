@@ -85,16 +85,30 @@ class OrbaxCheckpointer:
                 out.append(int(name))
         return sorted(out)
 
+    def _latest_step(self, carry: bool) -> int:
+        """Latest step of the requested KIND — a directory may hold both
+        state snapshots and slab carries (both written by this class), and
+        latest-overall would make restore()/restore_carry() raise on a
+        newer checkpoint of the other kind instead of resuming."""
+        all_steps = self.steps()
+        for step in reversed(all_steps):
+            p = os.path.join(self.directory, f"{int(step):010d}", "meta.json")
+            with open(p) as f:
+                kind = json.load(f).get("kind")
+            if (kind == "slab_carry") == carry:
+                return step
+        what = "slab carries" if carry else "state snapshots"
+        raise FileNotFoundError(
+            f"no {what} under {self.directory}"
+            + (f" ({len(all_steps)} checkpoints of the other kind)"
+               if all_steps else ""))
+
     def restore(self, step: int | None = None, sharding=None):
         """-> (state, config, step_index). ``sharding`` optionally re-shards
         every array on restore (a NamedSharding, for resuming on a mesh)."""
         ocp = _ocp()
         if step is None:
-            all_steps = self.steps()
-            if not all_steps:
-                raise FileNotFoundError(
-                    f"no checkpoints under {self.directory}")
-            step = all_steps[-1]
+            step = self._latest_step(carry=False)
         step_dir = os.path.join(self.directory, f"{int(step):010d}")
         with open(os.path.join(step_dir, "meta.json")) as f:
             meta = json.load(f)
@@ -149,11 +163,7 @@ class OrbaxCheckpointer:
         replicated."""
         ocp = _ocp()
         if step is None:
-            all_steps = self.steps()
-            if not all_steps:
-                raise FileNotFoundError(
-                    f"no checkpoints under {self.directory}")
-            step = all_steps[-1]
+            step = self._latest_step(carry=True)
         step_dir = os.path.join(self.directory, f"{int(step):010d}")
         with open(os.path.join(step_dir, "meta.json")) as f:
             meta = json.load(f)

@@ -466,6 +466,23 @@ def test_vmem_gate_and_feasible_caps():
     assert 256 <= mf < 320
 
 
+def test_next_feasible_cap_skips_misaligned_and_oversized(monkeypatch):
+    """The VMEM model is NOT monotone in cap (misaligned caps get a 1<<62
+    sentinel; awkward alignments inflate the working-set term), so the
+    escalation scan must CONTINUE past budget/alignment failures, not break
+    (regression: escalate_cap(40, 128, 200) returned None on real TPUs even
+    though cap=144 is aligned and fits, prematurely ending the ladder)."""
+    from particle3d_tpu.engine import step as STEP
+    from particle3d_tpu.ops import pallas_allpairs as PA
+
+    monkeypatch.setattr(PA, "_use_interpret", lambda: False)
+    # 129 is misaligned at nsc=40 => sentinel; the scan must reach 144
+    assert STEP.next_feasible_cap(40, 129) == 144
+    assert STEP.escalate_cap(40, 128, 200) == 144
+    # doubling from 128 lands on 256 = max_feasible_cap(40)
+    assert STEP.escalate_cap(40, 128, 4096) == 256
+
+
 def test_adaptive_falls_back_to_allpairs_when_ladder_ends():
     from particle3d_tpu.engine.step import simulate_dense_adaptive
 

@@ -75,6 +75,34 @@ def test_sharded_restore(tmp_path):
     ck.close()
 
 
+def test_mixed_kind_latest_restore(tmp_path):
+    """A directory holding BOTH state snapshots and slab carries: latest-
+    restore must filter by kind — a newer checkpoint of the other kind must
+    not shadow the one being asked for (regression: restore(step=None)
+    picked steps()[-1] regardless of kind and raised)."""
+    st, cfg = _scene()
+    ck = OrbaxCheckpointer(str(tmp_path / "ck"))
+    fake_carry = (jnp.zeros((8, 4)), jnp.full((8,), -1, jnp.int32),
+                  jnp.zeros((2, 4)), jnp.full((2,), -1, jnp.int32),
+                  jnp.int32(0))
+    ck.save(10, st, cfg)
+    ck.save_carry(20, fake_carry, cfg, nsc=4, cap=2, n=8)
+    _, _, step = ck.restore()          # newest overall is the carry (20)
+    assert step == 10
+    _, _, _, step = ck.restore_carry()
+    assert step == 20
+    ck.save(30, st, cfg)               # now newest overall is a snapshot
+    _, _, _, step = ck.restore_carry()
+    assert step == 20
+    ck.close()
+
+    ck2 = OrbaxCheckpointer(str(tmp_path / "only_state"))
+    ck2.save(1, st, cfg)
+    with pytest.raises(FileNotFoundError, match="slab carr"):
+        ck2.restore_carry()
+    ck2.close()
+
+
 def test_slab_carry_checkpoint_resume(tmp_path):
     """Stay-sharded slab carry: save mid-run with shardings, restore
     SHARDED onto a fresh mesh (no replicated stage), continue — must match
