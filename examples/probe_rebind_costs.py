@@ -88,7 +88,7 @@ def main():
     def reb_make(k):
         def fn():
             def body(i, d):
-                d2, nm, _ = rebind(d, cfg, nsc, cap, mcap)
+                d2, nm, _, _ = rebind(d, cfg, nsc, cap, mcap)
                 drift = 0.02 * jnp.float32(1 + (i % 3))
                 data = d2.data.at[:, 0:3].add(drift)
                 return d2.replace(data=data)

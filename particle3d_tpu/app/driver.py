@@ -72,6 +72,13 @@ class SimulationApp:
         # while cells still overflow: subsequent batches run the capacity-
         # free brute-force backend — exact, slower, honest
         self._cell_fallback = False
+        # overflow-sidecar budget (ops/overflow.py): up to this many
+        # capacity-overflow rows stay exact WITHOUT escalating; 0 disables
+        # (every overflow row then masks and drives the ladder)
+        from ..ops.celllist_dense import OCAP
+
+        self.ocap = (OCAP if self.cfg.overflow_capacity is None
+                     else self.cfg.overflow_capacity)
         # worklist capacity learned by fallback batches (simulate_culled);
         # a stale-large value only pads the grid, a stale-small one
         # self-corrects by retry — reset alongside the dense layout
@@ -117,7 +124,7 @@ class SimulationApp:
         nsc, base_cap = self._cell_geometry()
         if self._cap_escalated and base_cap >= self._cap_escalated:
             return  # base geometry IS the escalated rung — nothing to undo
-        dense = build_dense(self.state, self.cfg, nsc, base_cap)
+        dense = build_dense(self.state, self.cfg, nsc, base_cap, self.ocap)
         dropped = int(self.state.n
                       - jnp.sum((dense.pid >= 0).astype(jnp.int32)))
         if dropped == 0:
@@ -252,7 +259,8 @@ class SimulationApp:
 
                 while True:
                     if self._dense is None or self._dense_geom != (nsc, cap):
-                        dense = build_dense(self.state, self.cfg, nsc, cap)
+                        dense = build_dense(self.state, self.cfg, nsc, cap,
+                                            self.ocap)
                         # initial-build drops (cell already over capacity)
                         # would ride the whole batch frozen: escalate BEFORE
                         # running anything
@@ -271,7 +279,7 @@ class SimulationApp:
                         self._dense_geom = (nsc, cap)
                     new_dense, (mov, mis) = simulate_dense_carry(
                         self._dense, self.cfg, dt, n_steps, nsc, cap,
-                        default_mover_capacity(self.state.n))
+                        default_mover_capacity(self.state.n), self.ocap)
                     if int(mis) > 0:
                         # rewind the batch (self.state is still pre-batch)
                         # and re-run at the next feasible capacity — or

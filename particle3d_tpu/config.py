@@ -105,6 +105,12 @@ class SimConfig:
     # when config values are traced (e.g. inside jit/scan).
     cell_grid: int | None = None
     cell_capacity: int | None = None
+    # overflow-sidecar budget (ops/overflow.py): up to this many capacity-
+    # overflow particles stay EXACT without escalating the cell capacity,
+    # letting the geometry hug the mean occupancy. None = the module default
+    # (celllist_dense.OCAP); 0 disables (overflow then freezes, counts as
+    # masked, and drives the escalation ladder).
+    overflow_capacity: int | None = None
     # static ghost-image capacity for the allpairs_mxu backend with periodic
     # forces (None derives from concrete world/radius at call time; set
     # explicitly when config values are traced) — see
@@ -168,6 +174,9 @@ class SimConfig:
             raise ConfigError(f"unknown precision {self.precision!r}; one of {PRECISIONS}")
         if self.id_count < 1:
             raise ConfigError("id_count must be >= 1")
+        if self.overflow_capacity is not None and self.overflow_capacity < 0:
+            raise ConfigError("overflow_capacity must be >= 0 (0 disables "
+                              "the overflow sidecar)")
         ws = np.asarray(self.world_size)
         r = np.asarray(self.particle_effect_radius)
         if ws.ndim == 0 and r.ndim == 0 and float(ws) < 2.0 * float(r):
@@ -202,8 +211,8 @@ class SimConfig:
 
 _ALL_FIELDS = [f.name for f in dataclasses.fields(SimConfig)]
 _META_FIELDS = ["id_count", "force_law", "integrator", "boundary", "neighbor",
-                "wrap_forces", "cell_grid", "cell_capacity", "ghost_capacity",
-                "precision"]
+                "wrap_forces", "cell_grid", "cell_capacity",
+                "overflow_capacity", "ghost_capacity", "precision"]
 _DATA_FIELDS = [n for n in _ALL_FIELDS if n not in _META_FIELDS]
 
 jax.tree_util.register_dataclass(

@@ -186,10 +186,11 @@ def trajectory(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     return state, snaps
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "nsc", "cap", "mcap"))
+@functools.partial(jax.jit, static_argnames=("num_steps", "nsc", "cap",
+                                             "mcap", "ocap"))
 def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
                    nsc: int | None = None, cap: int | None = None,
-                   mcap: int | None = None):
+                   mcap: int | None = None, ocap: int | None = None):
     """Exact cell-list trajectory on the incrementally-maintained dense
     layout (``ops.celllist_dense``): the state lives in slot order for the
     whole run, and after every step only supercell-boundary crossers are
@@ -203,11 +204,15 @@ def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
     while per-step drift stays under ``drift_budget``; Euler is always
     exact).
 
-    Returns ``(final_state, (max_movers, max_misplaced))``: the per-step
-    maxima of supercell crossers and of capacity-overflow particles that
-    were temporarily force-masked (0 for a well-capacitied run).
+    Returns ``(final_state, (max_movers, max_masked))``: the per-step
+    maxima of supercell crossers and of particles that were temporarily
+    force-FROZEN (0 for an exact run). Capacity-overflow particles up to
+    ``ocap`` (default ``celllist_dense.OCAP``) are NOT masked: the overflow
+    sidecar (ops/overflow.py) serves them exactly, so low-capacity
+    geometries tuned to the mean occupancy stay exact; only overflow beyond
+    ocap (or movers beyond mcap) freezes and counts.
     """
-    from ..ops.celllist_dense import build_dense, scatter_back, \
+    from ..ops.celllist_dense import OCAP, build_dense, scatter_back, \
         default_mover_capacity
 
     if nsc is None:
@@ -218,36 +223,98 @@ def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
         "simulate_dense needs cfg.cell_grid / cfg.cell_capacity"
     if mcap is None:
         mcap = default_mover_capacity(state.n)
+    if ocap is None:
+        ocap = OCAP if cfg.overflow_capacity is None else cfg.overflow_capacity
 
-    ds0 = build_dense(state, cfg, nsc, cap)
-    # particles the initial build could not place (cell already over
-    # capacity at window start) are FROZEN for the whole window — they must
-    # count as capacity-masked or callers (bench, the adaptive escalation
-    # driver) would read a silently-degraded window as exact
+    ds0 = build_dense(state, cfg, nsc, cap, ocap)
+    # particles the initial build could not place (cell over capacity AND
+    # the ocap sidecar budget exhausted at window start) are FROZEN for the
+    # whole window — they must count as masked or callers (bench, the
+    # adaptive escalation driver) would read a silently-degraded window as
+    # exact
     n_dropped = state.n - jnp.sum((ds0.pid >= 0).astype(jnp.int32))
     ds, (mx_mov, mx_mis) = _dense_scan(ds0, cfg, dt, num_steps, nsc, cap,
                                        mcap, state.species.dtype,
-                                       state.masses.dtype)
+                                       state.masses.dtype, ocap=ocap)
     return scatter_back(ds, state), (mx_mov, jnp.maximum(mx_mis, n_dropped))
 
 
+def _sidecar_apply(f, positions, ds, mis_idx, cfg, valid, nsc, cap):
+    """Add the overflow sidecar's exact forces (ops/overflow.py): forces ON
+    the misplaced rows (scattered into their — currently zeroed — slots) and
+    forces FROM them onto aligned receivers (``valid``-gated: misplaced
+    receivers already got their complete force, including misplaced pairs,
+    from the receiver-side terms). Uses the O(M * 27 * cap) neighborhood
+    sweep (slot-count-independent) when the grid admits it, the O(M * S)
+    rectangular sweep otherwise. Skipped entirely when no row is misplaced,
+    and TIERED: the cost is linear in the worklist width, so when the live
+    count fits the small tier only that width is swept (mis_idx is compact
+    with trailing sentinels, so the prefix slice keeps every live entry)."""
+    from ..ops.overflow import neighborhood_sweeps, sidecar_sweeps
+
+    s_total = ds.pid.shape[0]
+    ocap = mis_idx.shape[0]
+
+    def run(f, mis):
+        mvalid = mis < s_total
+        msafe = jnp.minimum(mis, s_total - 1)
+        if nsc >= 3:
+            f_mis, f_from = neighborhood_sweeps(
+                positions, ds.u, ds.v, ds.r2 > 0.0,
+                positions[msafe], ds.u[msafe], ds.v[msafe], mvalid,
+                cfg, nsc, cap)
+        else:
+            f_mis, f_from = sidecar_sweeps(
+                positions, ds.u, ds.v, ds.pid >= 0,
+                positions[msafe], ds.u[msafe], ds.v[msafe], mvalid, cfg)
+        return f.at[mis].add(f_mis, mode="drop") + f_from * valid
+
+    n_live = jnp.sum((mis_idx < s_total).astype(jnp.int32))
+    small = 64
+    if ocap > small:
+        return jax.lax.cond(
+            n_live == 0, lambda f: f,
+            lambda f: jax.lax.cond(
+                n_live <= small,
+                lambda f: run(f, mis_idx[:small]),
+                lambda f: run(f, mis_idx), f),
+            f)
+    return jax.lax.cond(n_live > 0, lambda f: run(f, mis_idx),
+                        lambda f: f, f)
+
+
 def _dense_scan(ds0, cfg: SimConfig, dt, num_steps: int, nsc: int, cap: int,
-                mcap: int, species_dtype=jnp.int32, masses_dtype=jnp.float32):
-    """num_steps of step+incremental-rebind on an existing dense layout."""
-    from ..ops.celllist_dense import rebind, dense_forces_fresh
+                mcap: int, species_dtype=jnp.int32, masses_dtype=jnp.float32,
+                ocap: int | None = None, mis0=None):
+    """num_steps of step+incremental-rebind on an existing dense layout.
+
+    With ``ocap`` (default ``celllist_dense.OCAP``), misplaced rows are
+    force-exact via the overflow sidecar; the returned max-"masked" counts
+    only FROZEN rows (misplaced beyond ocap / movers beyond mcap)."""
+    from ..ops.celllist_dense import (
+        OCAP, rebind, dense_forces_fresh, sidecar_indices)
     from ..ops import forces as FF
 
+    if ocap is None:
+        ocap = OCAP if cfg.overflow_capacity is None else cfg.overflow_capacity
     s_total = ds0.pid.shape[0]
     dummy_species = jnp.zeros((s_total,), species_dtype)
     dummy_masses = jnp.zeros((s_total,), masses_dtype)
+    if ocap and mis0 is None:
+        mis0 = sidecar_indices(ds0, ocap)
+    elif not ocap:
+        mis0 = jnp.zeros((0,), jnp.int32)
 
     def body(carry, _):
-        ds, mx_mov, mx_mis = carry
+        ds, mis, mx_mov, mx_mis = carry
 
         def accel_fn(positions, st, c):
             f = dense_forces_fresh(positions, ds, c, nsc, cap)
             valid = (ds.r2 > 0.0).astype(f.dtype)[:, None]
-            return f * (FF.kick_scale(c) * valid)
+            f = f * valid
+            if ocap:
+                f = _sidecar_apply(f, positions, ds, mis, c, valid, nsc, cap)
+            return f * FF.kick_scale(c)
 
         ps = ParticleState(positions=ds.pos, velocities=ds.vel,
                            species=dummy_species, masses=dummy_masses,
@@ -255,11 +322,14 @@ def _dense_scan(ds0, cfg: SimConfig, dt, num_steps: int, nsc: int, cap: int,
         ps = step(ps, cfg, dt, accel_fn=accel_fn)
         ds = ds.replace(data=jnp.concatenate(
             [ps.positions, ps.velocities, ps.accel, ds.data[:, 9:]], axis=1))
-        ds, n_mov, n_mis = rebind(ds, cfg, nsc, cap, mcap)
-        return (ds, jnp.maximum(mx_mov, n_mov), jnp.maximum(mx_mis, n_mis)), None
+        ds, n_mov, n_mis, mis = rebind(ds, cfg, nsc, cap, mcap, ocap)
+        if ocap:
+            n_mis = n_mis - jnp.sum((mis < s_total).astype(jnp.int32))
+        return (ds, mis, jnp.maximum(mx_mov, n_mov),
+                jnp.maximum(mx_mis, n_mis)), None
 
-    (ds, mx_mov, mx_mis), _ = jax.lax.scan(
-        body, (ds0, jnp.int32(0), jnp.int32(0)), None, length=num_steps)
+    (ds, _, mx_mov, mx_mis), _ = jax.lax.scan(
+        body, (ds0, mis0, jnp.int32(0), jnp.int32(0)), None, length=num_steps)
     return ds, (mx_mov, mx_mis)
 
 
@@ -519,6 +589,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                             nsc: int | None = None, cap: int | None = None,
                             max_cap: int = 512, verbose=None,
                             probe_factor: float = 3.0,
+                            ocap: int | None = None,
                             _timer=time.perf_counter):
     """Long-horizon EXACT cell-list driver with capacity escalation.
 
@@ -554,7 +625,14 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     when a window at an escalated capacity runs slower than
     ``probe_factor`` x the cheapest committed window, the next window runs
     on the culled backend as a PROBE (committed too — no wasted compute);
-    the faster backend then serves the rest of the run.
+    the faster backend then serves the run. The switch is BIDIRECTIONAL
+    (round 4): while on the culled backend, every 8th window — or as soon
+    as the surviving-pair fraction halves from its switch-time value (the
+    on-device dispersal signal) — re-probes the cell path at the last
+    working capacity; a mask-free, faster probe window switches back, so a
+    scene that clusters then disperses is never stuck on the slower
+    backend (the engine-level mirror of the app's disperse recovery,
+    app/driver.py).
 
     Returns ``(state, cap, history)`` where history lists
     ``(steps, cap_or_backend, masked)`` per committed window (``cap`` is
@@ -579,10 +657,61 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     rung_sec = None        # sec/step of the window that triggered the probe
     seen_caps = set()      # caps whose compile has been paid
     probed_caps = set()    # rungs already raced against the culled backend
+    last_good_cap = cap    # last cap whose window actually compiled+ran
+    culled_sec = None      # latest steady (non-first) culled sec/step
+    culled_seen = False    # first culled window pays worklist compile
+    switch_frac = None     # mean pair frac when the culled backend took over
+    fb_since_probe = 0     # culled windows since the last cell re-probe
+    reprobe_every = 8
     while done < num_steps:
         k = min(chunk, num_steps - done)
         if fallback or probe_pending:
+            # bidirectional ladder (round-4): a scene that clusters then
+            # DISPERSES should not be stuck on the culled backend — every
+            # reprobe_every culled windows (or when the surviving-pair
+            # fraction halves from its switch-time value) one window runs
+            # on the cell path at the last working capacity. Mask-free and
+            # faster -> switch back; masked or slower -> the probe window
+            # is still committed (or rewound if masked), nothing is wasted.
+            if fallback and not probe_pending and \
+                    fb_since_probe >= reprobe_every:
+                fb_since_probe = 0
+                t0 = _timer()
+                probe_ok = True
+                try:
+                    outp, (_, misp) = simulate_dense(
+                        state, cfg.replace(cell_capacity=cap), dt, k,
+                        nsc=nsc, cap=cap, ocap=ocap)
+                    masked_p = int(misp)
+                except Exception:
+                    probe_ok = False
+                    masked_p = -1
+                if probe_ok and masked_p == 0:
+                    secp = (_timer() - t0) / k
+                    state = outp
+                    done += k
+                    history.append((k, cap, 0))
+                    if culled_sec is not None and secp < culled_sec:
+                        fallback = False
+                        probed_caps.discard(cap)
+                        if verbose:
+                            verbose(f"[adaptive] cell re-probe cap={cap} "
+                                    f"{secp*1e3:.0f} ms/step beats culled "
+                                    f"({culled_sec*1e3:.0f}) — back on the "
+                                    f"cell path")
+                    elif verbose:
+                        verbose(f"[adaptive] cell re-probe cap={cap} "
+                                f"{secp*1e3:.0f} ms/step loses to culled "
+                                f"({(culled_sec or 0)*1e3:.0f}) — staying "
+                                f"culled")
+                    continue
+                if verbose:
+                    verbose(f"[adaptive] cell re-probe cap={cap}: "
+                            + ("still masking" if masked_p > 0
+                               else "failed to run")
+                            + " — staying culled (window rewound)")
             t0 = _timer()
+            frac = None
             if interp:
                 state = simulate(state, cfg.replace(neighbor="allpairs"),
                                  dt, k)
@@ -595,10 +724,22 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                                              verbose=verbose,
                                              wp_cap=culled_cap)
                 culled_cap = stc["wp_cap"]
+                frac = stc.get("mean_pair_frac")
                 jax.block_until_ready(state.positions)
             sec = (_timer() - t0) / k
             done += k
             history.append((k, "allpairs", 0))
+            if fallback:
+                fb_since_probe += 1
+                if culled_seen:
+                    culled_sec = sec
+                else:
+                    culled_seen = True  # first window pays compile — skip
+                    switch_frac = frac
+                if (frac is not None and switch_frac is not None
+                        and frac < 0.5 * switch_frac):
+                    # scene visibly dispersed — pull the next probe forward
+                    fb_since_probe = reprobe_every
             if probe_pending:
                 probe_pending = False
                 # first culled window pays its compile — biased AGAINST
@@ -621,7 +762,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
         t0 = _timer()
         try:
             out, (mov, mis) = simulate_dense(state, cfg_k, dt, k, nsc=nsc,
-                                             cap=cap)
+                                             cap=cap, ocap=ocap)
         except Exception as e:
             # a rung the VMEM model approved can still miss Mosaic's real
             # scoped limit (the model is calibrated, not exact). Only an
@@ -634,6 +775,9 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
                         f"VMEM model ({type(e).__name__}) — ladder ends, "
                         f"falling back to the culled sweep")
             fallback = True
+            # re-probes must use a cap that actually compiles, not the one
+            # that just failed
+            cap = last_good_cap
             continue
         masked = int(mis)  # host sync: fences the window for the timer
         sec = (_timer() - t0) / k
@@ -655,6 +799,7 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
         state = out
         done += k
         history.append((k, cap, masked))
+        last_good_cap = cap
         # cost-aware switch (docstring): once this cap's compile has been
         # paid (2nd+ window at the cap), its window time is comparable —
         # track the cheapest, and when an escalated rung runs probe_factor
@@ -684,14 +829,17 @@ def simulate_dense_adaptive(state: ParticleState, cfg: SimConfig, dt,
     return state, cap, history
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "nsc", "cap", "mcap"))
+@functools.partial(jax.jit, static_argnames=("num_steps", "nsc", "cap",
+                                             "mcap", "ocap"))
 def simulate_dense_carry(ds, cfg: SimConfig, dt, num_steps: int, nsc: int,
-                         cap: int, mcap: int):
+                         cap: int, mcap: int, ocap: int | None = None):
     """``simulate_dense`` continuation on an ALREADY-BUILT dense layout
     (``ops.celllist_dense.build_dense``) — the interactive driver persists
     the layout across tick batches so only the first batch pays the full
-    sort build. Returns (new layout, (max_movers, max_masked))."""
-    return _dense_scan(ds, cfg, dt, num_steps, nsc, cap, mcap)
+    sort build. Returns (new layout, (max_movers, max_masked)); masked
+    counts frozen rows only (the overflow sidecar keeps up-to-ocap
+    misplaced rows exact, same as ``simulate_dense``)."""
+    return _dense_scan(ds, cfg, dt, num_steps, nsc, cap, mcap, ocap=ocap)
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps", "rebuild_every",

@@ -37,17 +37,17 @@ def _reference_walls(key, n: int | None = None):
 
 def _particle_life_large(key, n: int | None = None):
     """Large-N particle life: Pallas column-sweep cell list. The effective
-    cutoff is min(radius, 1.0) = 1.0 (reference quirk Q2); the autotuner
-    (``python -m particle3d_tpu tune``) picks a COARSER 28^3 grid (cell
-    width 1.43) over the minimal 40^3: double the per-cell occupancy means
-    half the padded slots — 42.1 steps/s fenced-window on a v5e with zero
-    capacity masking in the uniform phase. Re-swept after the round-3
-    slot-minor kernel relayout: still the fastest MASK-FREE point under
-    fenced-window timing ((32,24) ties at 41.0 and masks by step 48)."""
+    cutoff is min(radius, 1.0) = 1.0 (reference quirk Q2). Round 4: the
+    overflow sidecar (ops/overflow.py) keeps capacity-overflow rows exact,
+    so the capacity hugs the MEAN occupancy instead of the Poisson-tail
+    max — a 24^3 grid (cell width 1.67, ~19 mean occupants, cap 32) runs
+    the kernel at 7.6 ms/sweep vs 13.0 at the round-2/3 tuned (28, 32)
+    (docs/PERF.md round 4); the ~60-particle uniform-phase overflow rides
+    the sidecar, masked 0."""
     n = 262144 if n is None else n
     if n >= 32768:
         cfg = reference_config(world_size=40.0).replace(
-            neighbor="celllist_pallas", cell_grid=28,
+            neighbor="celllist_pallas", cell_grid=24,
             cell_capacity=32)
     else:
         cfg = reference_config(world_size=40.0).replace(neighbor="allpairs_pallas")
@@ -56,13 +56,14 @@ def _particle_life_large(key, n: int | None = None):
 
 def _particle_life_1m(key, n: int | None = None):
     """Million-particle particle life on the exact production path
-    (incremental dense cell layout). Tuned geometry: a coarser 44^3 grid
-    (width 1.45) beats the minimal 64^3 for the same reason as the 262k
-    preset — fewer padded slots; measured 12.9 steps/s on one v5e with no
-    masking (docs/PERF.md)."""
+    (incremental dense cell layout). Round 4: with the overflow sidecar a
+    40^3 grid (width 1.6, ~16 mean occupants, cap 32; ~21 overflow rows
+    sidecar-served) replaces the round-3 44^3 — kernel 51.6 -> 35.9
+    ms/sweep, rebind 21.7 -> 17.2 (2.05M vs 2.73M slots); docs/PERF.md
+    round 4."""
     n = 1_048_576 if n is None else n
     cfg = reference_config(world_size=64.0).replace(
-        neighbor="celllist_pallas", cell_grid=44, cell_capacity=32)
+        neighbor="celllist_pallas", cell_grid=40, cell_capacity=32)
     return init_scene(key, n, cfg), cfg, 1.0 / 60.0
 
 

@@ -51,6 +51,17 @@ from .pallas_celllist import _call
 from .compaction import masked_indices
 from . import forces as F
 
+# Default overflow-sidecar capacity (ops/overflow.py): capacity-overflow
+# particles live in WRONG slots (force-invisible to the grid kernel) and get
+# exact forces from bounded neighborhood sweeps instead — so the cell
+# capacity can hug the MEAN occupancy rather than the Poisson-tail max
+# (262k production geometry (28,32) -> (24,32): kernel 13.0 -> 7.6 ms).
+# The sweep is O(ocap * 27 * cap), slot-count-independent, so the budget can
+# cover the steady-state misplaced queue (~200 at the 262k mean-occupancy
+# geometry, growing as scenes cluster). Rows beyond ocap are frozen
+# (force-masked) and counted, as before; cfg.overflow_capacity overrides.
+OCAP = 512
+
 # packed row layout: [pos(3) | vel(3) | acc(3) | U(P) | V(P)]
 _POS = slice(0, 3)
 _VEL = slice(3, 6)
@@ -118,8 +129,15 @@ def default_mover_capacity(n: int) -> int:
     return max(1024, -(-(n // 16) // 128) * 128)
 
 
-def build_dense(state, cfg: SimConfig, nsc: int, cap: int) -> DenseSim:
-    """Full (sorting) build of the dense layout from particle-order state."""
+def build_dense(state, cfg: SimConfig, nsc: int, cap: int,
+                ocap: int = OCAP) -> DenseSim:
+    """Full (sorting) build of the dense layout from particle-order state.
+
+    Capacity-overflow particles (cell rank >= cap) are placed in the first
+    ``ocap`` globally-free slots as MISPLACED rows (r2 = -1, force-invisible
+    to the grid kernel; the overflow sidecar serves them exactly — see
+    ``sidecar_indices``). Overflow beyond ocap is dropped as before (pid
+    absent; callers count it as masked)."""
     n = state.positions.shape[0]
     u, v = F.pair_features(state, cfg, pad_p=PAIR_P)
     sid = bin_sid(state.positions, cfg, nsc)
@@ -132,6 +150,27 @@ def build_dense(state, cfg: SimConfig, nsc: int, cap: int) -> DenseSim:
     s_total = nsc ** 3 * cap
     pid = jnp.full((s_total + 1,), -1, jnp.int32)
     pid = pid.at[flat].set(order.astype(jnp.int32), mode="drop")[:-1]
+    if ocap:
+        # park at most ONE overflow row per cell, emptiest cells first: a
+        # parked row occupies a real slot, so ascending-first-free parking
+        # would stuff the lowest-index cells full and every later mover
+        # into them would fail — a measured misplacement snowball
+        # (69 frozen by step 16 at the 262k (24,32) preset; ~0 with this
+        # placement)
+        k_cells = nsc ** 3
+        oc = min(ocap, k_cells)
+        free = (pid < 0).reshape(k_cells, cap)
+        free_count = jnp.sum(free.astype(jnp.int32), axis=1)
+        host_cells = jnp.argsort(-free_count)[:oc].astype(jnp.int32)
+        first_free = jnp.argmax(free, axis=1).astype(jnp.int32)
+        free_idx = jnp.where(free_count[host_cells] > 0,
+                             host_cells * cap + first_free[host_cells],
+                             s_total)
+        of_rank = jnp.cumsum((~keep).astype(jnp.int32)) - 1
+        of_dst = jnp.where(
+            jnp.logical_and(~keep, of_rank < oc),
+            free_idx[jnp.clip(of_rank, 0, oc - 1)], s_total)
+        pid = pid.at[of_dst].set(order.astype(jnp.int32), mode="drop")
     present = pid >= 0
     safe = jnp.where(present, pid, 0)
 
@@ -142,8 +181,24 @@ def build_dense(state, cfg: SimConfig, nsc: int, cap: int) -> DenseSim:
          u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
     data = jnp.where(present[:, None], packed[safe], 0.0)
     r2v = _r2_gate(cfg)
+    # the grid-visibility gate is ALIGNMENT, not mere presence: an overflow
+    # row parked in a wrong cell must stay kernel-invisible (the sidecar
+    # serves it); one parked in a slot that happens to match its cell is
+    # simply placed. Same rule rebind re-derives every step.
+    cell_of_slot = jnp.arange(s_total, dtype=jnp.int32) // cap
+    aligned = jnp.logical_and(
+        present, bin_sid(data[:, _POS], cfg, nsc) == cell_of_slot)
     return DenseSim(data=data, pid=pid,
-                    r2=jnp.where(present, r2v, -1.0).astype(jnp.float32))
+                    r2=jnp.where(aligned, r2v, -1.0).astype(jnp.float32))
+
+
+def sidecar_indices(ds: DenseSim, ocap: int = OCAP):
+    """Compact slot indices of misplaced rows (pid >= 0, r2 <= 0), ascending,
+    padded to ``ocap`` with the s_total sentinel. O(S) rank scan — used once
+    per window; per-step maintenance comes from ``rebind``'s mover pipeline."""
+    s_total = ds.pid.shape[0]
+    mask = jnp.logical_and(ds.pid >= 0, ds.r2 <= 0.0)
+    return masked_indices(mask, ocap, fill_value=s_total)
 
 
 def scatter_back(ds: DenseSim, state):
@@ -200,9 +255,14 @@ def dense_forces_fresh(pos_flat, ds: DenseSim, cfg: SimConfig, nsc: int,
 
 
 def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
-           mcap: int) -> tuple[DenseSim, Any, Any]:
+           mcap: int, ocap: int = OCAP) -> tuple[DenseSim, Any, Any, Any]:
     """Repair the slot layout after one integration step (module docstring
-    steps 1-5). Returns (new layout, mover count, misplaced count)."""
+    steps 1-5). Returns (new layout, mover count, misplaced count,
+    mis_idx) — ``mis_idx`` is the [ocap] sidecar worklist: slot indices of
+    movers that failed placement this step (they stay misplaced in their
+    old slot; the overflow sidecar serves them exactly), s_total-padded.
+    Misplaced rows beyond ocap — and movers beyond mcap — are frozen;
+    ``misplaced count - valid(mis_idx)`` is the frozen (inexact) count."""
     s_total = ds.pid.shape[0]
     k_cells = nsc ** 3
     r2v = _r2_gate(cfg).astype(jnp.float32)
@@ -277,8 +337,18 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
                     jnp.asarray(empty, a.dtype), vals.shape), mode="drop")
             return a.at[dst].set(vals, mode="drop")
 
+        # sidecar worklist: movers that failed placement stay misplaced at
+        # idx_s — compact the first ocap of them (ascending in sorted-mover
+        # order; a cheap O(m) scan, m = mover-pipeline size, not O(S))
+        if ocap:
+            fail = jnp.logical_and(valid_s, ~can)
+            mpos = masked_indices(fail, ocap, fill_value=m)
+            mis = jnp.where(mpos < m,
+                            idx_s[jnp.minimum(mpos, m - 1)], s_total)
+        else:
+            mis = jnp.zeros((0,), jnp.int32)
         return (move(ds.data, 0.0, clear_src=False),
-                move(ds.pid, -1, clear_src=True))
+                move(ds.pid, -1, clear_src=True), mis)
 
     # Bounded-work fast path: most steps move far fewer than mcap slots, and
     # the mover-sized ops are priced by their STATIC size. When this step's
@@ -288,12 +358,12 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     # runtime scalar — results are identical to always running full size.
     half = mcap // 2
     if half >= 1024:
-        data, pid = jax.lax.cond(
+        data, pid, mis = jax.lax.cond(
             n_movers <= half,
             lambda: pipeline(idx_full[:half]),
             lambda: pipeline(idx_full))
     else:
-        data, pid = pipeline(idx_full)
+        data, pid, mis = pipeline(idx_full)
     # r2 from scratch, elementwise: live gate iff the slot is occupied AND
     # its occupant's cell matches the slot's cell. This uniformly covers
     # placed movers, stayers, capacity-overflow and beyond-mcap movers
@@ -304,4 +374,4 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     r2 = jnp.where(aligned, r2v, -1.0)
 
     n_misplaced = jnp.sum(jnp.logical_and(pid >= 0, ~aligned).astype(jnp.int32))
-    return DenseSim(data=data, pid=pid, r2=r2), n_movers, n_misplaced
+    return DenseSim(data=data, pid=pid, r2=r2), n_movers, n_misplaced, mis

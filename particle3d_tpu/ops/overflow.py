@@ -1,0 +1,255 @@
+"""Exact overflow sidecar — rectangular masked force sweeps.
+
+The dense cell layout (``celllist_dense``) prices its kernel by SLOTS, so
+the cell capacity wants to hug the MEAN occupancy — but exactness demands it
+covers the MAX (the Poisson tail), historically forcing padded geometries
+(262k tuned at (28, 32) = 37% slot occupancy). The sidecar removes that
+coupling: a bounded set of "misplaced" particles (capacity-overflow rows
+living force-invisible in wrong slots, r2 = -1) get their EXACT forces from
+two rectangular sweeps instead of the grid kernel:
+
+  * sweep 1 — forces ON the misplaced set: receivers are the (<= ocap)
+    misplaced rows, sources are every real particle (aligned + misplaced).
+  * sweep 2 — forces FROM the misplaced set: receivers are all slots
+    (callers gate the add to aligned rows — misplaced receivers already got
+    their complete force, including misplaced-misplaced pairs, in sweep 1),
+    sources are the misplaced rows.
+
+Each ordered pair is computed exactly once across {grid kernel, sweep 1,
+sweep 2} (receiver-centric accounting; the laws are NOT symmetric — the
+particle-life attraction matrix is directional, src/lib.rs:223-229 — so
+sweep 2 evaluates f(j <- i) rather than negating sweep 1). Cost is
+O(ocap * slots) dense VPU work with no gathers or scatters beyond the ocap
+row lookups — at the 262k production geometry (ocap=128, S=442k) the two
+sweeps measure ~1.5 ms against the ~5.5 ms/step the lower-capacity grid
+geometry saves (docs/PERF.md round 4).
+
+Pair semantics mirror ``ops.allpairs`` / the Pallas kernels exactly:
+accepted iff 0 < d2 < r2_gate (minimum-image when cfg.wrap_forces), rank-1
+pair coefficient via the feature matmul (reference hot loop
+``src/lib.rs:176-243``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from . import forces as F
+from .pallas_allpairs import _r2_gate
+
+
+def _pad_to(a, m, fill=0.0):
+    pad = (-a.shape[0]) % m
+    if pad == 0:
+        return a
+    width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+    return jnp.pad(a, width, constant_values=fill)
+
+
+def rect_forces(pos_i, u_i, pos_j, v_j, valid_j, cfg: SimConfig,
+                block_i: int = 65536, block_j: int = 65536):
+    """Accumulated forces on receivers i from sources j, [NI, 3] f32.
+
+    ``valid_j`` masks phantom source rows (empty slots hold stale finite
+    garbage — they must not act). Receiver rows are NOT masked here:
+    callers gate/scatter the outputs (garbage receiver rows compute finite
+    garbage that is dropped). Blocked over both axes so peak memory is
+    O(block_i * block_j); in the sidecar one axis is always ocap.
+    """
+    ni = pos_i.shape[0]
+    scale = F.scale_fn(cfg)
+    r2 = _r2_gate(cfg)
+    wrap = bool(cfg.wrap_forces)
+    w = cfg.world_size
+
+    bi = min(block_i, ni)
+    bj = min(block_j, pos_j.shape[0])
+    pos_ib = _pad_to(pos_i.astype(jnp.float32), bi).reshape(-1, bi, 3)
+    u_ib = _pad_to(u_i.astype(jnp.float32), bi).reshape(-1, bi, u_i.shape[1])
+    pos_jb = _pad_to(pos_j.astype(jnp.float32), bj).reshape(-1, bj, 3)
+    v_jb = _pad_to(v_j.astype(jnp.float32), bj).reshape(-1, bj, v_j.shape[1])
+    ok_jb = _pad_to(valid_j, bj, fill=False).reshape(-1, bj)
+
+    def per_i(args):
+        pi, ui = args
+
+        def per_j(acc, args_j):
+            pj, vj, okj = args_j
+            delta = pj[None, :, :] - pi[:, None, :]  # [bi, bj, 3], i -> j
+            if wrap:
+                delta = F.min_image(delta, w)
+            d2 = jnp.sum(delta * delta, axis=-1)
+            valid = jnp.logical_and(
+                jnp.logical_and(d2 > 0.0, d2 < r2), okj[None, :])
+            coef = ui @ vj.T
+            s = jnp.where(valid, scale(jnp.where(valid, d2, 1.0), coef), 0.0)
+            return acc + jnp.einsum("ijc,ij->ic", delta, s), None
+
+        acc, _ = jax.lax.scan(
+            per_j, jnp.zeros((bi, 3), jnp.float32), (pos_jb, v_jb, ok_jb))
+        return acc
+
+    out = jax.lax.map(per_i, (pos_ib, u_ib))
+    return out.reshape(-1, 3)[:ni]
+
+
+def neighborhood_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
+                        cfg: SimConfig, nsc: int, cap: int):
+    """Neighborhood-bounded sidecar sweeps: O(M * 27 * cap) gather/compute
+    instead of ``sidecar_sweeps``'s O(M * S) dense pass — the cost no longer
+    scales with the slot count, so the overflow budget can grow with the
+    misplaced queue (hundreds at 262k, thousands at 1M on mean-occupancy
+    geometries) without eating the capacity savings.
+
+    Exactness decomposition (receiver-centric, every ordered pair exactly
+    once across {grid kernel, these sweeps}):
+
+      * mis <- aligned: gather each misplaced row's 27 neighbor cells of its
+        FRESH position (cell width >= cutoff, the same geometry invariant
+        the grid kernel relies on, so every in-range aligned source's slot
+        cell is adjacent); sources gated by ``src_ok`` (aligned only — a
+        misplaced source sits in an arbitrary slot, not necessarily nearby).
+      * mis <- mis: dense [M, M] block on the compacted rows.
+      * aligned <- mis: reverse forces scattered onto the gathered slots
+        (callers gate the add to aligned receivers; misplaced receivers got
+        their complete force from the two terms above).
+
+    Requires nsc >= 3 (periodic neighbor cells must be distinct or wrapped
+    pairs double-count — callers fall back to ``sidecar_sweeps``). Directional
+    pair law as everywhere (src/lib.rs:223-229): coef(i <- j) = u_i . v_j.
+    Returns ``(f_mis [M, 3], f_from [S, 3])`` like ``sidecar_sweeps``.
+    """
+    assert nsc >= 3, "neighbor cells must be distinct (see docstring)"
+    s = positions.shape[0]
+    m = mpos.shape[0]
+    scale = F.scale_fn(cfg)
+    r2 = _r2_gate(cfg)
+    wrap = bool(cfg.wrap_forces)
+    w = jnp.asarray(cfg.world_size, jnp.float32)
+
+    mpos = mpos.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    mv = mv.astype(jnp.float32)
+
+    # fresh-position cell coords of each misplaced row (same binning as
+    # celllist_dense.bin_sid)
+    cellw = w / nsc
+    c3 = jnp.clip(jnp.floor((mpos + w * 0.5) / cellw).astype(jnp.int32),
+                  0, nsc - 1)
+    o = jnp.arange(-1, 2, dtype=jnp.int32)
+    offs = jnp.stack(jnp.meshgrid(o, o, o, indexing="ij"), -1).reshape(27, 3)
+    nb = c3[:, None, :] + offs[None]
+    if wrap:
+        nb = jnp.remainder(nb, nsc)
+        cell_ok = jnp.ones((m, 27), bool)
+    else:
+        cell_ok = jnp.all(jnp.logical_and(nb >= 0, nb < nsc), axis=-1)
+        nb = jnp.clip(nb, 0, nsc - 1)
+    cell = (nb[..., 0] * nsc + nb[..., 1]) * nsc + nb[..., 2]  # [m, 27]
+    k = 27 * cap
+    k_cells = nsc ** 3
+    ok_cell = jnp.broadcast_to(cell_ok[:, :, None],
+                               (m, 27, cap)).reshape(m, k)
+
+    # gather whole CELL WINDOWS (cap contiguous rows each), not individual
+    # slot rows: [m, 27] cell indices with a [cap, width] slice beats an
+    # [m, 27*cap] row gather by an order of magnitude on TPU (XLA lowers
+    # small-slice gathers poorly)
+    def cells(a):
+        return a.reshape(k_cells, cap, -1)[cell].reshape(m, k, -1)
+
+    pj = cells(positions).astype(jnp.float32)  # [m, k, 3]
+    uj = cells(u_all).astype(jnp.float32)
+    vj = cells(v_all).astype(jnp.float32)
+    okj = jnp.logical_and(cells(src_ok)[..., 0], ok_cell)
+
+    delta = pj - mpos[:, None, :]  # i -> j
+    if wrap:
+        delta = F.min_image(delta, w)
+    d2 = jnp.sum(delta * delta, axis=-1)
+    gate = jnp.logical_and(d2 > 0.0, d2 < r2)
+    safe = jnp.where(gate, d2, 1.0)
+
+    # mis <- aligned
+    ok1 = jnp.logical_and(gate, okj)
+    s1 = jnp.where(ok1, scale(safe, jnp.einsum("mp,mkp->mk", mu, vj)), 0.0)
+    f_mis = jnp.einsum("mkc,mk->mc", delta, s1)
+
+    # mis <- mis
+    dmm = mpos[None, :, :] - mpos[:, None, :]  # i -> j
+    if wrap:
+        dmm = F.min_image(dmm, w)
+    d2mm = jnp.sum(dmm * dmm, axis=-1)
+    gmm = jnp.logical_and(jnp.logical_and(d2mm > 0.0, d2mm < r2),
+                          mvalid[None, :])
+    smm = jnp.where(gmm, scale(jnp.where(gmm, d2mm, 1.0), mu @ mv.T), 0.0)
+    f_mis = f_mis + jnp.einsum("ijc,ij->ic", dmm, smm)
+
+    # aligned <- mis, scattered onto the gathered slots. Scatter at CELL
+    # granularity — m*27 indices each carrying a contiguous [cap, 3] block —
+    # not row granularity: the [m*27*cap]-index row scatter measured 17.8 ms
+    # at (m=512, cap=32) where this block form is ~1 ms (docs/PERF.md round
+    # 4); XLA lowers scatter cost by index count, not element count.
+    ok2 = jnp.logical_and(gate, mvalid[:, None])
+    s2 = jnp.where(ok2, scale(safe, jnp.einsum("mkp,mp->mk", uj, mv)), 0.0)
+    contrib = (-delta * s2[..., None]).reshape(m, 27, cap, 3)
+    gate_cell = jnp.logical_and(cell_ok, mvalid[:, None])  # [m, 27]
+    dst_cell = jnp.where(gate_cell, cell, k_cells)  # OOB rows drop
+    f_from = jnp.zeros((k_cells, cap, 3), jnp.float32).at[
+        dst_cell.reshape(-1)].add(contrib.reshape(-1, cap, 3), mode="drop")
+    return f_mis, f_from.reshape(s, 3)
+
+
+def sidecar_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
+                   cfg: SimConfig, block: int = 65536):
+    """Both sidecar sweeps in ONE pass over the slot arrays, sharing the
+    pair geometry (delta / d2 / radius gate) between them — ~40% cheaper
+    than two ``rect_forces`` calls, and the sweep cost at N=1M is what the
+    sidecar's viability hinges on.
+
+    Returns ``(f_mis [M, 3], f_from [S, 3])``: forces ON the M misplaced
+    rows from every valid slot row, and forces FROM the misplaced rows onto
+    every slot row (callers gate the latter to aligned receivers). The two
+    directions need separate coefficient matmuls and scale evaluations
+    because the laws are NOT symmetric (directional attraction matrix,
+    src/lib.rs:223-229) — only the geometry is shared.
+    """
+    s = positions.shape[0]
+    m = mpos.shape[0]
+    scale = F.scale_fn(cfg)
+    r2 = _r2_gate(cfg)
+    wrap = bool(cfg.wrap_forces)
+    w = cfg.world_size
+
+    b = min(block, s)
+    pos_b = _pad_to(positions.astype(jnp.float32), b).reshape(-1, b, 3)
+    u_b = _pad_to(u_all.astype(jnp.float32), b).reshape(-1, b, u_all.shape[1])
+    v_b = _pad_to(v_all.astype(jnp.float32), b).reshape(-1, b, v_all.shape[1])
+    ok_b = _pad_to(src_ok, b, fill=False).reshape(-1, b)
+    mpos = mpos.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    mv = mv.astype(jnp.float32)
+
+    def per_block(f_mis, args):
+        ps, us, vs, oks = args
+        delta = mpos[None, :, :] - ps[:, None, :]  # [b, m, 3], slot -> mis
+        if wrap:
+            delta = F.min_image(delta, w)
+        d2 = jnp.sum(delta * delta, axis=-1)
+        gate = jnp.logical_and(d2 > 0.0, d2 < r2)
+        safe = jnp.where(gate, d2, 1.0)
+        # forces ON slots FROM misplaced rows (sweep 2)
+        ok2 = jnp.logical_and(gate, mvalid[None, :])
+        s2 = jnp.where(ok2, scale(safe, us @ mv.T), 0.0)
+        f_from_b = jnp.einsum("smc,sm->sc", delta, s2)
+        # forces ON misplaced rows FROM valid slots (sweep 1)
+        ok1 = jnp.logical_and(gate, oks[:, None])
+        s1 = jnp.where(ok1, scale(safe, vs @ mu.T), 0.0)
+        f_mis = f_mis - jnp.einsum("smc,sm->mc", delta, s1)
+        return f_mis, f_from_b
+
+    f_mis, f_from = jax.lax.scan(
+        per_block, jnp.zeros((m, 3), jnp.float32), (pos_b, u_b, v_b, ok_b))
+    return f_mis, f_from.reshape(-1, 3)[:s]

@@ -755,7 +755,8 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                            cap: int | None = None, mcap: int | None = None,
                            window: int = 64, max_cap: int = 512,
                            axis: str = AXIS, verbose=None,
-                           on_ladder_end: str = "warn"):
+                           on_ladder_end: str = "exact",
+                           state: "ParticleState | None" = None):
     """Capacity-adaptive stay-sharded window driver — the slab counterpart
     of ``engine.step.simulate_dense_adaptive``'s escalate-with-rewind rule
     (clustering scenes outgrow any capacity chosen from the uniform init).
@@ -772,15 +773,38 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         ladder as the single-chip driver), carry recapped in place.
 
     When the cell-capacity ladder ends (no aligned capacity fits the halo
-    kernel's VMEM budget), there is no capacity-free sharded fallback:
-    ``on_ladder_end`` chooses ``"warn"`` (commit the masked window with a
-    loud message — masked particles are force-frozen for those steps,
-    never wrong or lost) or ``"raise"``.
+    kernel's VMEM budget) — or six consecutive rewinds still leave trouble
+    — ``on_ladder_end`` picks the terminal rung:
+
+      * ``"exact"`` (default; needs ``state``): the window is NEVER
+        committed with force-frozen particles. The pre-window carry is
+        gathered to replicated particle order and the window runs on the
+        capacity-free EXACT backend (``engine.step.simulate_culled``; plain
+        all-pairs under interpret mode), preserving the single-chip
+        ladder's guarantee — no committed step is ever inexact (reference
+        semantics: every particle feels every in-range force every step,
+        src/lib.rs:171-243). After each exact window the driver re-probes
+        the slab path with a fresh ``build_sharded_dense``; a rebuild with
+        zero limbo/lost re-enters sharded mode (scene dispersed). The
+        exact rung REPLICATES the state across the mesh — a deliberate
+        scale cliff, priced only in the regime where every sharded
+        capacity has already failed.
+      * ``"warn"``: commit the masked window with a loud message — masked
+        particles are force-frozen for those steps, never wrong or lost
+        (explicit opt-out; also the fallback when ``state`` is absent).
+      * ``"raise"``: hard error.
+
+    ``state`` is a particle-order template (its species/masses feed the
+    exact backend's pair features; positions/velocities are overwritten by
+    the gather). Callers using ``init_sharded_dense`` can rebuild one with
+    ``init_scene`` from the same key.
 
     Returns ``(carry, cap, history)``; history lists
-    ``(steps, cap, masked)`` per committed window.
+    ``(steps, cap, masked)`` per committed window (``cap`` is the string
+    ``"exact"`` for terminal-rung windows, always masked == 0).
     """
-    from ..engine.step import escalate_cap
+    from ..engine.step import escalate_cap, simulate_culled
+    from ..engine.step import simulate as _simulate
 
     if nsc is None:
         nsc = cfg.cell_grid
@@ -792,6 +816,49 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     done = 0
     history = []
     ladder_ended = False
+    exact_ok = on_ladder_end == "exact" and state is not None
+    exact_mode = False
+    live_state = None   # replicated particle-order state while exact_mode
+    culled_cap = None   # worklist capacity learned by exact windows
+
+    def run_exact_window(k):
+        nonlocal live_state, culled_cap
+        if _use_interpret():
+            live_state = _simulate(live_state,
+                                   cfg.replace(neighbor="allpairs"), dt, k)
+        else:
+            live_state, stc = simulate_culled(live_state, cfg, dt, k,
+                                              window=min(k, 16),
+                                              verbose=verbose,
+                                              wp_cap=culled_cap)
+            culled_cap = stc["wp_cap"]
+
+    def try_reenter_slab():
+        """Probe the slab path from the live replicated state: a rebuild
+        with zero limbo/lost means every particle fits the current
+        capacity again (scene dispersed) — re-enter sharded mode."""
+        nonlocal carry, exact_mode, live_state
+        new_carry = build_sharded_dense(live_state,
+                                        cfg.replace(cell_capacity=cap),
+                                        mesh, nsc=nsc, cap=cap, mcap=mcap,
+                                        axis=axis)
+        limbo_n = int(jnp.sum((new_carry[3] >= 0).astype(jnp.int32)))
+        if limbo_n == 0 and int(new_carry[4]) == 0:
+            carry = new_carry
+            exact_mode = False
+            live_state = None
+            if verbose:
+                verbose(f"[slab-adaptive] scene fits cap={cap} again — "
+                        f"re-entering the sharded slab path")
+
+    def enter_exact(prev_carry, why):
+        nonlocal exact_mode, live_state
+        exact_mode = True
+        live_state = gather_sharded_dense(prev_carry, state, mesh)
+        if verbose:
+            verbose(f"[slab-adaptive] {why} — rewinding window, serving "
+                    f"exact windows on gathered state (capacity-free "
+                    f"backend; replicated until the scene fits again)")
 
     # an overflowing initial build leaves particles in limbo, where they
     # would be silently force-frozen for the first step before pass B
@@ -807,7 +874,9 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                    f"(cell_grid={nsc}, ladder ended at cap={cap})")
             if on_ladder_end == "raise":
                 raise RuntimeError(msg)
-            if verbose:
+            if exact_ok:
+                enter_exact(carry, msg)
+            elif verbose:
                 verbose(msg)
             break
         if verbose:
@@ -821,6 +890,13 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     rewinds_here = 0  # consecutive rewinds at the same `done` (loop guard)
     while done < num_steps:
         k = min(window, num_steps - done)
+        if exact_mode:
+            run_exact_window(k)
+            done += k
+            history.append((k, "exact", 0))
+            if done < num_steps:
+                try_reenter_slab()
+            continue
         prev = carry
         cfg_k = cfg.replace(cell_capacity=cap)
         carry, diag = sharded_dense_steps(carry, cfg_k, dt, k, mesh,
@@ -858,18 +934,41 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                 rewinds_here += 1
                 continue
             ladder_ended = True
+        if trouble > 0:
+            # terminal rung: a window about to commit force-frozen
+            # particles (ladder ended, or the rewind guard exhausted with
+            # trouble remaining) is NEVER committed inexact under "exact"
             msg = (f"[slab-adaptive] step {done}: {mask} masked + {limbo} "
-                   f"limbo with no feasible larger capacity (cell_grid="
-                   f"{nsc}, VMEM/alignment ladder ended at cap={cap}); "
-                   f"committing masked windows from here — masked/limbo "
-                   f"particles are force-frozen, never wrong or lost")
+                   f"limbo at cap={cap} with no feasible escalation "
+                   f"(cell_grid={nsc}"
+                   + (", ladder ended" if ladder_ended
+                      else ", rewind guard exhausted") + ")")
             if on_ladder_end == "raise":
                 raise RuntimeError(msg)
+            if exact_ok:
+                enter_exact(prev, msg)
+                continue
             if verbose:
-                verbose(msg)
+                verbose(msg + " — committing the window; masked/limbo "
+                        "particles are force-frozen, never wrong or lost")
         done += k
         rewinds_here = 0
         history.append((k, cap, trouble))
+    if exact_mode:
+        # the trajectory lives in the replicated live_state — materialize
+        # it back into a valid stay-sharded carry. The scene may still be
+        # denser than cap, so grow the limbo capacity until the rebuild
+        # loses nothing (limbo rows are frozen only if STEPPED, and this
+        # carry is a terminal return value).
+        lc = carry[3].shape[0] // d
+        while True:
+            new_carry = build_sharded_dense(
+                live_state, cfg.replace(cell_capacity=cap), mesh,
+                nsc=nsc, cap=cap, mcap=mcap, limbocap=lc, axis=axis)
+            if int(new_carry[4]) == 0:
+                break
+            lc *= 4
+        carry = new_carry
     return carry, cap, history
 
 

@@ -105,7 +105,7 @@ def test_no_particle_loss_under_capacity_pressure():
         pos = ds.data[:, 0:3] + kick * (ds.pid >= 0)[:, None]
         pos = pos - 16.0 * jnp.floor(pos / 16.0 + 0.5)
         ds = ds.replace(data=ds.data.at[:, 0:3].set(pos))
-        ds, _, _ = rebind(ds, cfg, 8, 2, default_mover_capacity(1500))
+        ds, _, _, _ = rebind(ds, cfg, 8, 2, default_mover_capacity(1500))
         pids = np.asarray(ds.pid)
         assert int((pids >= 0).sum()) == n0
         assert len(np.unique(pids[pids >= 0])) == n0
@@ -125,8 +125,8 @@ def test_rebind_preserves_particles_and_alignment():
     pos = ds.data[:, 0:3]
     pos = pos - w * jnp.floor(pos / w + 0.5)
     ds = ds.replace(data=ds.data.at[:, 0:3].set(pos))
-    ds2, n_mov, n_mis = rebind(ds, cfg, 8, 32,
-                               default_mover_capacity(256))
+    ds2, n_mov, n_mis, _ = rebind(ds, cfg, 8, 32,
+                                  default_mover_capacity(256))
     # every particle id survives exactly once
     pids = np.asarray(ds2.pid)
     live = np.sort(pids[pids >= 0])
@@ -227,13 +227,14 @@ def test_mover_fast_path_branches_agree():
     pos = pos - 16.0 * jnp.floor(pos / 16.0 + 0.5)
     ds = ds.replace(data=ds.data.at[:, 0:3].set(pos))
     # mcap=8192 -> half=4096 >= movers (~1800): small branch
-    a, n_mov_a, _ = rebind(ds, cfg, 8, 8, 8192)
+    a, n_mov_a, _, mis_a = rebind(ds, cfg, 8, 8, 8192)
     # mcap=2048 -> half=1024 < movers: big branch, same extracted prefix
-    b, n_mov_b, _ = rebind(ds, cfg, 8, 8, 2048)
+    b, n_mov_b, _, mis_b = rebind(ds, cfg, 8, 8, 2048)
     assert int(n_mov_a) == int(n_mov_b)
     assert 1024 < int(n_mov_a) <= 2048  # big branch taken, nothing truncated
     np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
     np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
+    np.testing.assert_array_equal(np.asarray(mis_a), np.asarray(mis_b))
 
 
 def test_stale_vacated_rows_never_read_back():
@@ -249,19 +250,27 @@ def test_stale_vacated_rows_never_read_back():
     assert bool(np.isfinite(np.asarray(out.velocities)).all())
 
 
-def test_build_drop_counts_as_masked():
-    """Particles the initial build cannot place (cell over capacity at
-    window start) must surface in the masked diagnostic — a silently
-    frozen particle must never read as an exact window."""
+def test_build_overflow_served_by_sidecar_else_masked():
+    """Particles the initial build cannot place in their cell (capacity
+    overflow) are served EXACTLY by the overflow sidecar up to ocap — the
+    window reads exact (masked 0) and matches all-pairs. With the sidecar
+    disabled (ocap=0), the same overflow must surface in the masked
+    diagnostic — a silently frozen particle must never read as exact."""
     cfg = _cfg(cell_capacity=2)
     st = init_scene(jax.random.PRNGKey(30), 64, cfg)
-    # cram 8 particles into one cell: 6 must be reported
+    # cram 8 particles into one cell: 6 overflow
     pos = np.asarray(st.positions).copy()
     pos[:8] = np.array([1.1, 1.1, 1.1], np.float32) + \
         np.arange(8, dtype=np.float32)[:, None] * 1e-3
     st = st.replace(positions=jnp.asarray(pos))
-    _, (_, mis) = simulate_dense(st, cfg, jnp.float32(1 / 60), 1)
-    assert int(mis) >= 6
+    out, (_, mis) = simulate_dense(st, cfg, jnp.float32(1 / 60), 1)
+    assert int(mis) == 0
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), jnp.float32(1 / 60), 1)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-5, atol=1e-6)
+    _, (_, mis0) = simulate_dense(st, cfg, jnp.float32(1 / 60), 1, ocap=0)
+    assert int(mis0) >= 6
 
 
 def test_adaptive_escalation_recovers_exactness():
@@ -276,7 +285,7 @@ def test_adaptive_escalation_recovers_exactness():
         attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
     st = init_scene(jax.random.PRNGKey(31), 600, cfg)
     dt = jnp.float32(1 / 30)
-    out, cap, hist = simulate_dense_adaptive(st, cfg, dt, 40, chunk=10)
+    out, cap, hist = simulate_dense_adaptive(st, cfg, dt, 40, chunk=10, ocap=0)
     assert cap > 2  # escalated
     assert all(masked == 0 for _, _, masked in hist)
     ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 40)
@@ -316,7 +325,7 @@ def test_adaptive_cost_probe_switches_to_culled():
     msgs = []
     out, cap, hist = simulate_dense_adaptive(
         st, cfg, dt, 60, chunk=10, verbose=msgs.append,
-        probe_factor=0.0, _timer=clock)
+        probe_factor=0.0, ocap=0, _timer=clock)
     backends = [c for _, c, _ in hist]
     assert any("probing the culled backend" in m for m in msgs)
     assert any("switching to the culled" in m for m in msgs)
@@ -345,7 +354,7 @@ def test_adaptive_cost_probe_stays_when_rung_wins():
     msgs = []
     out, cap, hist = simulate_dense_adaptive(
         st, cfg, dt, 60, chunk=10, verbose=msgs.append,
-        probe_factor=0.0, _timer=clock)
+        probe_factor=0.0, ocap=0, _timer=clock)
     assert any("probing the culled backend" in m for m in msgs)
     assert not any("switching to the culled" in m for m in msgs)
     backends = [c for _, c, _ in hist]
@@ -365,6 +374,7 @@ def test_app_escalates_capacity_on_clustered_batch():
         attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
     st = init_scene(jax.random.PRNGKey(32), 600, cfg)
     app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    app.ocap = 0  # sidecar off: overflow must drive the escalation ladder
     for _ in range(40):
         app.run_steps(1)  # dense branch: exact, escalates on overflow
     m = app.metrics()
@@ -422,6 +432,7 @@ def test_app_stays_in_fallback_while_scene_still_clustered():
         attraction_matrix=np.ones((5, 5), np.float32) * 0.9)
     st = init_scene(jax.random.PRNGKey(42), 600, cfg)
     app = SimulationApp(state=st, cfg=cfg, update_rate=30.0)
+    app.ocap = 0  # sidecar off: overflow must drive the ladder/fallback
     app.max_cap = 3  # ladder ends immediately on overflow
     for _ in range(20):
         app.run_steps(1)
@@ -492,10 +503,51 @@ def test_adaptive_falls_back_to_allpairs_when_ladder_ends():
     st = init_scene(jax.random.PRNGKey(33), 600, cfg)
     dt = jnp.float32(1 / 30)
     out, cap, hist = simulate_dense_adaptive(st, cfg, dt, 40, chunk=10,
-                                             max_cap=3)
+                                             max_cap=3, ocap=0)
     assert any(c == "allpairs" for _, c, _ in hist)
     assert all(masked == 0 for _, _, masked in hist)
     ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 40)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_adaptive_reprobes_cell_path_after_dispersal():
+    """Bidirectional ladder (round 4): once on the culled fallback, the
+    driver re-probes the cell path every few windows; a dispersed scene
+    that fits the capacity again (mask-free probe, faster wall time under
+    the decreasing fake clock) re-enters the cell path — the engine-level
+    mirror of the app's disperse recovery."""
+    from particle3d_tpu.engine.step import simulate_dense_adaptive
+
+    # zero forces: a crammed blob with strong outward velocities disperses
+    # ballistically and deterministically
+    cfg = _cfg(cell_capacity=2).replace(
+        attraction_matrix=np.zeros((5, 5), np.float32))
+    rng = np.random.default_rng(7)
+    st = init_scene(jax.random.PRNGKey(34), 240, cfg)
+    pos = np.asarray(st.positions).copy()
+    vel = np.asarray(st.velocities).copy()
+    crowd = 12
+    dirs = rng.normal(size=(crowd, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pos[:crowd] = np.float32([1.0, 1.0, 1.0]) + dirs * 0.05
+    vel[:crowd] = dirs * 8.0
+    st = st.replace(positions=jnp.asarray(pos), velocities=jnp.asarray(vel))
+    dt = jnp.float32(1 / 30)
+    clock = _FakeClock([100.0 / (i + 1) for i in range(400)])
+    msgs = []
+    out, cap, hist = simulate_dense_adaptive(
+        st, cfg, dt, 48, chunk=2, max_cap=4, ocap=0,
+        verbose=msgs.append, _timer=clock)
+    backends = [c for _, c, _ in hist]
+    assert "allpairs" in backends          # the blob forced the fallback
+    i = backends.index("allpairs")
+    assert any(b != "allpairs" for b in backends[i:]), \
+        f"never re-entered the cell path: {hist} / {msgs}"
+    assert any("back on the cell path" in m for m in msgs)
+    assert all(masked == 0 for _, _, masked in hist)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 48)
     np.testing.assert_allclose(np.asarray(out.positions),
                                np.asarray(ref.positions),
                                rtol=1e-3, atol=1e-4)
