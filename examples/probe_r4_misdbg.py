@@ -33,7 +33,7 @@ def one(ds, mis):
 
 
 # re-derive the worklist each step outside the scan so we can inspect it
-for i in range(16):
+for i in range(64):
     ds2, (mov, frozen) = _dense_scan(ds, cfg, dt, 1, nsc, cap, mcap,
                                      st.species.dtype, st.masses.dtype,
                                      ocap=OCAP, mis0=mis)

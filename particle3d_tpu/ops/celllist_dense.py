@@ -226,13 +226,21 @@ def dense_forces_fresh(pos_flat, ds: DenseSim, cfg: SimConfig, nsc: int,
     ncol = nsc * nsc
     cs = nsc * cap
     pos_r = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
-    pos_d = jnp.transpose(pos_r, (0, 2, 1))  # slot-minor receiver (_call)
     u_d = jnp.transpose(ds.u.reshape(ncol, cs, PAIR_P), (0, 2, 1))
     v_d = ds.v.reshape(ncol, cs, PAIR_P)
     r2_d = ds.r2.reshape(ncol, cs)
     wrap = bool(cfg.wrap_forces)
     if wrap:
-        pos_g = jnp.concatenate([pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], 1)
+        # fold wrap crossers back to their cell + coordinate-shifted
+        # z-ghost images (pallas_celllist._kernel's column-level image
+        # scheme: no per-pair minimum-image passes)
+        from .pallas_celllist import fold_to_cells
+
+        w = jnp.asarray(cfg.world_size, jnp.float32)
+        pos_r = fold_to_cells(pos_r, w, nsc, cap)
+        zs = jnp.zeros((3,), jnp.float32).at[2].set(w)
+        pos_g = jnp.concatenate(
+            [pos_r[:, cs - cap:] - zs, pos_r, pos_r[:, :cap] + zs], 1)
         v_g = jnp.concatenate([v_d[:, cs - cap:], v_d, v_d[:, :cap]], 1)
         r2_gh = jnp.concatenate([r2_d[:, cs - cap:], r2_d, r2_d[:, :cap]], 1)
     else:
@@ -246,6 +254,7 @@ def dense_forces_fresh(pos_flat, ds: DenseSim, cfg: SimConfig, nsc: int,
         pos_g = jnp.concatenate([pos_g, jnp.zeros((1, g, 3), jnp.float32)], 0)
         v_g = jnp.concatenate([v_g, jnp.zeros((1, g, PAIR_P), jnp.float32)], 0)
         r2_gh = jnp.concatenate([r2_gh, jnp.full((1, g), -1.0, jnp.float32)], 0)
+    pos_d = jnp.transpose(pos_r, (0, 2, 1))  # slot-minor receiver (_call)
     post_g = jnp.transpose(pos_g, (0, 2, 1))
     vt_g = jnp.transpose(v_g, (0, 2, 1))
     r2_g = r2_gh[:, None, :]
@@ -351,13 +360,24 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
                 move(ds.pid, -1, clear_src=True), mis)
 
     # Bounded-work fast path: most steps move far fewer than mcap slots, and
-    # the mover-sized ops are priced by their STATIC size. When this step's
-    # movers fit in mcap/2 (idx_full is ascending, so its prefix holds ALL
-    # of them), run the half-size pipeline; the full-size branch only pays
-    # on burst steps. Both branches are compiled once; the choice is a
-    # runtime scalar — results are identical to always running full size.
+    # the mover-sized ops are priced by their STATIC size. idx_full is
+    # ascending, so a prefix holds ALL movers whenever they fit — pick the
+    # smallest of {mcap/4, mcap/2, mcap} that does (round-4 measurement:
+    # the 262k preset's uniform phase runs 0.2-4k movers against mcap/4 =
+    # 4096 for its first ~20 steps, ROADMAP item 16). Every branch compiles
+    # once; the choice is a runtime scalar — results are identical to
+    # always running full size.
     half = mcap // 2
-    if half >= 1024:
+    quarter = mcap // 4
+    if quarter >= 1024:
+        data, pid, mis = jax.lax.cond(
+            n_movers <= quarter,
+            lambda: pipeline(idx_full[:quarter]),
+            lambda: jax.lax.cond(
+                n_movers <= half,
+                lambda: pipeline(idx_full[:half]),
+                lambda: pipeline(idx_full)))
+    elif half >= 1024:
         data, pid, mis = jax.lax.cond(
             n_movers <= half,
             lambda: pipeline(idx_full[:half]),

@@ -16,10 +16,13 @@ contiguous memory:
     the 9 column DMAs, no gather ops anywhere.
   * inside, a fori loop walks z in chunks of ZR supercells: the receiver
     chunk (ZR*cap rows) sweeps the (ZR+2)-supercell window of all 9 columns —
-    a fat [ZR*cap, 9*(ZR+2)*cap] VPU tile. The minimum-image radius gate
-    (with the r2row padding trick from pallas_allpairs) rejects the
-    out-of-window-but-in-tile candidates, so results are exactly the
-    all-pairs forces.
+    a fat [ZR*cap, 9*(ZR+2)*cap] VPU tile. The radius gate (with the r2row
+    padding trick from pallas_allpairs) rejects the out-of-window-but-in-
+    tile candidates, so results are exactly the all-pairs forces. Periodic
+    images are COLUMN-LEVEL, not per-pair: z ghosts carry +-w-shifted
+    coordinates and wrapped x/y neighbors get one scalar +-w shift folded
+    into their window slice (see _kernel), so the hot tile runs zero
+    minimum-image passes.
   * non-periodic edges need no masking: a clamped out-of-range neighbor
     column is geometrically distant, so the distance gate rejects it.
 
@@ -39,20 +42,47 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SimConfig
 from . import forces as F
 from .pallas_allpairs import (
-    PAIR_P, _PF_INV_W, _scale, pack_params, _r2_gate, _use_interpret)
+    PAIR_P, _scale, pack_params, _r2_gate, _use_interpret)
 
 _OFFSETS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
-            law: str, wrap: bool, nsc: int, cap: int, zr: int, zr2: int,
-            use_rsqrt: bool):
+            law: str, wrap: bool, halo: bool, nsc: int, cap: int, zr: int,
+            zr2: int, use_rsqrt: bool):
     src_pos = rest[0:9]      # each (1, 3, G) ghosted column, G=(nsc+2)*cap
     src_vt = rest[9:18]      # each (1, P, G)
     src_r2 = rest[18:27]     # each (1, 1, G)
     out_ref = rest[27]
     w = pf_ref[0]
-    inv_w = pf_ref[1]
+
+    # COLUMN-LEVEL periodic images replace per-pair minimum-image (round 4):
+    # a neighbor column that wrapped in x/y sits a whole box away, so ONE
+    # scalar +-w shift per (neighbor, axis) — applied to the 1-row source
+    # slices below, ~1.5% of the pair tile — makes every in-gate delta the
+    # true displacement with NO per-pair round/sub passes (z images are
+    # pre-shifted in the ghost cells at ghosting time). Exactness for
+    # nsc >= 3: a shifted |delta| can only disagree with the minimum image
+    # when the true separation is >= cellw >= cutoff, which the r2 gate
+    # rejects either way. Measured: 6 of ~30 VPU passes per pair-slot
+    # removed (plus the pre-scale passes) — see docs/PERF.md round 4.
+    if wrap:
+        c = pl.program_id(0)
+        cy = jax.lax.rem(c, nsc)
+        cx = jax.lax.div(c, nsc)  # plane index in halo mode (x never wraps)
+        zero = jnp.float32(0.0)
+        shifts = []
+        for dx, dy in _OFFSETS9:
+            if halo:
+                sx = zero
+            else:
+                nx = cx + dx
+                sx = jnp.where(nx < 0, -w, jnp.where(nx >= nsc, w, zero))
+            ny = cy + dy
+            sy = jnp.where(ny < 0, -w, jnp.where(ny >= nsc, w, zero))
+            shifts.append((sx, sy))
+    else:
+        shifts = [(None, None)] * 9
 
     ti = zr * cap            # receiver rows per chunk
     wl = (zr + 2) * cap      # window rows per column
@@ -94,8 +124,18 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
         for sub in range(nsub):
             off = sub * ti2
             sl = slice(off, off + swl)
-            xj = jnp.concatenate([c[:, sl] for c in cols_x], axis=1)
-            yj = jnp.concatenate([c[:, sl] for c in cols_y], axis=1)
+            if wrap:
+                # scalar image shifts fold into the [1, SWL] slice copies
+                # (see header comment) — self-pair deltas stay exactly
+                # zero: the own column's shift is exactly 0.0 and xi / xj
+                # read the same materialized value
+                xj = jnp.concatenate(
+                    [c[:, sl] + s[0] for c, s in zip(cols_x, shifts)], axis=1)
+                yj = jnp.concatenate(
+                    [c[:, sl] + s[1] for c, s in zip(cols_y, shifts)], axis=1)
+            else:
+                xj = jnp.concatenate([c[:, sl] for c in cols_x], axis=1)
+                yj = jnp.concatenate([c[:, sl] for c in cols_y], axis=1)
             zj = jnp.concatenate([c[:, sl] for c in cols_z], axis=1)
             vt = jnp.concatenate([c[:, sl] for c in cols_v], axis=1)
             r2row = jnp.concatenate([c[:, sl] for c in cols_r2], axis=1)
@@ -107,24 +147,8 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
             dx = xj - xi
             dy = yj - yi
             dz = zj - zi
-            if wrap:
-                # positions arrive PRE-SCALED by 1/w (and r2row by 1/w^2,
-                # see _call): the minimum image is dx - round(dx) — 2 VPU
-                # passes per component instead of 4 — one d2 rescale
-                # returns to world units for the law, and the deltas'
-                # missing w factor is applied to the reduced [TI2, 3]
-                # accumulator (cheap) instead of per pair. Self-pair deltas
-                # stay exactly zero: xi and xj read the same pre-scaled
-                # value from materialized buffers (the scale is NOT fused
-                # into the in-kernel subtraction, unlike the all-pairs
-                # kernel's pitfall).
-                dx = dx - jnp.round(dx)
-                dy = dy - jnp.round(dy)
-                dz = dz - jnp.round(dz)
             d2 = dx * dx + dy * dy + dz * dz
             in_r = d2 < r2row
-            if wrap:
-                d2 = d2 * (w * w)
             coef = jnp.dot(u, vt, preferred_element_type=jnp.float32)
             if law == "particle_life":
                 safe = jnp.where(in_r, jnp.maximum(d2, 1e-12), 1.0)
@@ -147,7 +171,7 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
                 ],
                 axis=1,
             )
-            accs.append(acc * w if wrap else acc)
+            accs.append(acc)
         acc_all = accs[0] if nsub == 1 else jnp.concatenate(accs, 0)
         out_ref[0, :, rec] = jnp.transpose(acc_all, (1, 0))  # (3, TI)
         return 0
@@ -288,15 +312,6 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     zr = _pick_zr(nsc, cap, require_aligned=not interpret)
     if zr2 is None or zr2 > zr or zr % zr2 or (zr2 * cap) % 8:
         zr2 = _pick_zr2(zr, cap)
-    if wrap:
-        # scaled-coordinate wrap (see _kernel): pre-scale positions to box
-        # units and the r2 gate row to match (negative mask entries keep
-        # their sign). These are thin elementwise passes over the column
-        # arrays, repaid ~5x in per-pair VPU passes inside the kernel.
-        inv_w = params_f[_PF_INV_W]
-        pos_d = pos_d * inv_w
-        post_g = post_g * inv_w
-        r2_g = r2_g * (inv_w * inv_w)
 
     def rec_map(c):
         return (c, 0, 0)
@@ -354,8 +369,8 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, law=law, wrap=wrap, nsc=nsc, cap=cap, zr=zr, zr2=zr2,
-            use_rsqrt=not interpret,
+            _kernel, law=law, wrap=wrap, halo=halo, nsc=nsc, cap=cap, zr=zr,
+            zr2=zr2, use_rsqrt=not interpret,
         ),
         grid=(ncol,),
         in_specs=in_specs,
@@ -367,6 +382,39 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
         interpret=interpret,
     )(*args)
     return out
+
+
+def fold_to_cells(pos_r, w, nsc: int, cap: int, col0_x: int | None = None,
+                  x_of_col=None):
+    """Fold each slot's coordinates into the periodic image nearest its
+    CELL center. The kernel's column-level image scheme (see _kernel)
+    assumes every stored coordinate lies near its slot's cell — true right
+    after a (re)build, but an occupant that wrap-crossed the box on a STALE
+    layout (cadenced windows; verlet/leapfrog's post-boundary force eval)
+    sits a whole box from its cell and would silently miss its near-
+    boundary pairs. Four VPU passes over [S, 3] — O(slots) — restore the
+    invariant exactly: unwrapped occupants fold by w * round(0) == 0.0
+    (bit-identical), wrapped ones by exactly +-w.
+
+    ``x_of_col`` overrides the per-column global x cell index (the slab
+    decomposition's columns are a LOCAL x-plane window of the global grid).
+    """
+    ncol, cs = pos_r.shape[0], pos_r.shape[1]
+    cellw = w / nsc
+    col = jnp.arange(ncol, dtype=jnp.int32)
+    gx = x_of_col if x_of_col is not None else col // nsc
+    if col0_x is not None:  # may be traced (slab device offset)
+        gx = gx + col0_x
+    ctr_x = (gx.astype(jnp.float32) + 0.5) * cellw - 0.5 * w
+    ctr_y = ((col % nsc).astype(jnp.float32) + 0.5) * cellw - 0.5 * w
+    zc = jnp.arange(cs, dtype=jnp.int32) // cap
+    ctr_z = (zc.astype(jnp.float32) + 0.5) * cellw - 0.5 * w
+    ctr = jnp.stack([
+        jnp.broadcast_to(ctr_x[:, None], (ncol, cs)),
+        jnp.broadcast_to(ctr_y[:, None], (ncol, cs)),
+        jnp.broadcast_to(ctr_z[None, :], (ncol, cs)),
+    ], axis=-1)
+    return pos_r - w * jnp.round((pos_r - ctr) / w)
 
 
 def prepare_columns(positions, u, v, cfg: SimConfig, nsc: int, cap: int):
@@ -407,7 +455,12 @@ def prepare_columns(positions, u, v, cfg: SimConfig, nsc: int, cap: int):
 
     wrap = bool(cfg.wrap_forces)
     if wrap:
-        pos_g = jnp.concatenate([pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], axis=1)
+        # z ghosts carry COORDINATE-SHIFTED images (+-w on the z channel):
+        # in-kernel deltas are then true displacements with no per-pair
+        # minimum-image passes (see _kernel's column-level image comment)
+        zs = jnp.zeros((3,), jnp.float32).at[2].set(w)
+        pos_g = jnp.concatenate(
+            [pos_r[:, cs - cap:] - zs, pos_r, pos_r[:, :cap] + zs], axis=1)
         v_g = jnp.concatenate([v_d[:, cs - cap:], v_d, v_d[:, :cap]], axis=1)
         r2_gh = jnp.concatenate([r2_d[:, cs - cap:], r2_d, r2_d[:, :cap]], axis=1)
     else:
@@ -484,6 +537,45 @@ def pallas_celllist_forces(positions, u, v, cfg: SimConfig,
     flat = jnp.where(slot_particle >= 0, slot_particle, n).reshape(-1)
     out = out.at[flat].add(
         jnp.transpose(forces_d, (0, 2, 1)).reshape(-1, 3))
+
+    # round 4: capacity-overflow particles (prepare_columns drops cell rank
+    # >= cap) get EXACT forces from the overflow sidecar instead of riding
+    # the sweep force-dead — the same capacity/Poisson-tail decoupling the
+    # production dense path uses (ops/overflow.py), so mean-occupancy
+    # geometries are exact on this fresh-build path too. Skipped entirely
+    # (one scalar cond) when nothing overflowed.
+    from .celllist_dense import OCAP
+    from .compaction import masked_indices
+    from .overflow import neighborhood_sweeps
+
+    ocap = OCAP if cfg.overflow_capacity is None else cfg.overflow_capacity
+    if ocap:
+        slot = slot_particle.reshape(-1)
+        s_tot = slot.shape[0]
+        inv = jnp.full((n + 1,), -1, jnp.int32)
+        inv = inv.at[jnp.where(slot >= 0, slot, n)].set(
+            jnp.arange(s_tot, dtype=jnp.int32), mode="drop")
+        dropped = inv[:n] < 0
+        mis_p = masked_indices(dropped, ocap, fill_value=n)
+        n_live = jnp.sum((mis_p < n).astype(jnp.int32))
+
+        def add_sidecar(o):
+            safe = jnp.where(slot >= 0, slot, 0)
+            pos_s = positions[safe].astype(jnp.float32)
+            u_s = u[safe].astype(jnp.float32)
+            v_s = v[safe].astype(jnp.float32)
+            mp = jnp.minimum(mis_p, n - 1)
+            f_mis, f_from = neighborhood_sweeps(
+                pos_s, u_s, v_s, slot >= 0,
+                positions[mp].astype(jnp.float32),
+                u[mp].astype(jnp.float32), v[mp].astype(jnp.float32),
+                mis_p < n, cfg, nsc, cap)
+            o = o.at[mis_p].add(f_mis.astype(o.dtype))
+            # empty-slot rows alias particle 0's coords but their `flat`
+            # target is the dropped n row — inherently gated
+            return o.at[flat].add(f_from.astype(o.dtype))
+
+        out = jax.lax.cond(n_live > 0, add_sidecar, lambda o: o, out)
     return out[:n]
 
 
@@ -553,16 +645,21 @@ def dense_forces(layout: CellLayout, pos_flat, cfg: SimConfig,
     ncol = nsc * nsc
     cs = nsc * cap
     pos_r = pos_flat.reshape(ncol, cs, 3).astype(jnp.float32)
-    pos_d = jnp.transpose(pos_r, (0, 2, 1))
     wrap = bool(cfg.wrap_forces)
     if wrap:
+        # stale-layout wrap crossers + coordinate-shifted z ghosts (see
+        # fold_to_cells / the kernel's column-level image scheme)
+        w = jnp.asarray(cfg.world_size, jnp.float32)
+        pos_r = fold_to_cells(pos_r, w, nsc, cap)
+        zs = jnp.zeros((3,), jnp.float32).at[2].set(w)
         pos_g = jnp.concatenate(
-            [pos_r[:, cs - cap:], pos_r, pos_r[:, :cap]], axis=1)
+            [pos_r[:, cs - cap:] - zs, pos_r, pos_r[:, :cap] + zs], axis=1)
     else:
         zpad3 = jnp.zeros((ncol, cap, 3), jnp.float32)
         pos_g = jnp.concatenate([zpad3, pos_r, zpad3], axis=1)
         pos_g = jnp.concatenate(
             [pos_g, jnp.zeros((1, cs + 2 * cap, 3), jnp.float32)], axis=0)
+    pos_d = jnp.transpose(pos_r, (0, 2, 1))
     post_g = jnp.transpose(pos_g, (0, 2, 1))
     params_f = pack_params(cfg)
     forces_d = _call(pos_d, layout.u_d, post_g, layout.vt_g, layout.r2_g,

@@ -234,6 +234,15 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
 
     def halo_forces(pos_flat, dat, r2):
         pos_d = pos_flat.reshape(cols_local, cs, 3).astype(jnp.float32)
+        if g.wrap:
+            # fold stale wrap crossers to their cell's image (verlet /
+            # leapfrog evaluate forces at post-boundary positions on the
+            # pre-step layout); x centers use GLOBAL plane indices
+            from ..ops.pallas_celllist import fold_to_cells
+
+            wv0 = jnp.asarray(cfg_in.world_size, jnp.float32)
+            pos_d = fold_to_cells(pos_d, wv0, nsc, cap,
+                                  col0_x=me * (cols_local // nsc))
         v_d = dat[:, _V].reshape(cols_local, cs, PAIR_P)
         r2_d = r2.reshape(cols_local, cs)
         pack = jnp.concatenate(
@@ -249,11 +258,24 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                 me == 0, -1.0, from_left[..., -1]))
             from_right = from_right.at[..., -1].set(jnp.where(
                 me == d - 1, -1.0, from_right[..., -1]))
+        else:
+            # the ring's wraparound halos are periodic IMAGES: shift their
+            # x channel a whole box so in-kernel deltas are true
+            # displacements (halo mode applies no x image shift — see
+            # pallas_celllist._kernel's column-level image scheme)
+            wv = jnp.asarray(cfg_in.world_size, jnp.float32)
+            from_left = from_left.at[..., 0].add(
+                jnp.where(me == 0, -wv, 0.0))
+            from_right = from_right.at[..., 0].add(
+                jnp.where(me == d - 1, wv, 0.0))
         ext = jnp.concatenate([from_left, pack, from_right], axis=0)
         pos_e, v_e, r2_e = ext[..., :3], ext[..., 3:3 + PAIR_P], ext[..., 3 + PAIR_P]
         if g.wrap:
+            # coordinate-shifted z-ghost images (same scheme)
+            zsh = jnp.zeros((3,), jnp.float32).at[2].set(wv)
             pos_g = jnp.concatenate(
-                [pos_e[:, cs - cap:], pos_e, pos_e[:, :cap]], axis=1)
+                [pos_e[:, cs - cap:] - zsh, pos_e, pos_e[:, :cap] + zsh],
+                axis=1)
             v_g = jnp.concatenate(
                 [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
             r2_gh = jnp.concatenate(

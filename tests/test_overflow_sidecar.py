@@ -150,3 +150,64 @@ def test_rebind_reports_failed_movers_in_sidecar_list():
     assert (np.asarray(ds2.r2)[live] <= 0).all()
     assert (np.asarray(ds2.pid)[live] >= 0).all()
     assert served <= int(n_mis)
+
+
+def test_fresh_path_sidecar_exact_vs_allpairs():
+    """pallas_celllist_forces (fresh per-step build) must serve capacity-
+    overflow particles exactly via the sidecar — not drop them force-dead
+    (round 4: mean-occupancy preset geometries overflow by design)."""
+    from particle3d_tpu.ops.allpairs import allpairs_forces
+    from particle3d_tpu.ops.pallas_celllist import pallas_celllist_forces
+
+    cfg = _cfg(cell_capacity=4)
+    st = _overflow_scene(jax.random.PRNGKey(8), 400, cfg, crowd=10)
+    u, v = F.pair_features(st, cfg)
+    got = pallas_celllist_forces(st.positions, u, v, cfg)
+    ref = allpairs_forces(st.positions, u, v, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fresh_path_sidecar_disabled_drops():
+    """With overflow_capacity=0 the fresh path keeps its old semantics:
+    overflow rows ride force-dead (callers watch the dropped count)."""
+    from particle3d_tpu.ops.allpairs import allpairs_forces
+    from particle3d_tpu.ops.pallas_celllist import pallas_celllist_forces
+
+    cfg = _cfg(cell_capacity=4).replace(overflow_capacity=0)
+    st = _overflow_scene(jax.random.PRNGKey(8), 400, cfg, crowd=10)
+    u, v = F.pair_features(st, cfg)
+    got = np.asarray(pallas_celllist_forces(st.positions, u, v, cfg))
+    ref = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    assert np.abs(got - ref).max() > 1e-3  # the crowd's forces are missing
+
+
+def test_cadenced_wrap_crosser_stays_exact():
+    """Round-4 regression (column-level image scheme): a particle that
+    wrap-crosses the box INSIDE a cadence window (stale layout) must keep
+    exact near-boundary forces — fold_to_cells restores its cell-local
+    image. Velocities push a boundary blob across z/x mid-window."""
+    from particle3d_tpu import simulate
+    from particle3d_tpu.engine.step import simulate_cadenced
+
+    cfg = _cfg(cell_capacity=8)
+    st = init_scene(jax.random.PRNGKey(9), 500, cfg)
+    pos = np.asarray(st.positions).copy()
+    vel = np.asarray(st.velocities).copy()
+    # a tight pair straddling the +z face, moving so one crosses mid-window
+    pos[0] = [0.3, 0.3, 7.95]
+    pos[1] = [0.3, 0.3, 7.55]
+    vel[0] = [0.0, 0.0, 1.5]  # 0.4 drift over the window < 0.5 budget
+    vel[1] = [0.0, 0.0, 0.0]
+    # and one straddling the +x face
+    pos[2] = [7.95, -0.3, 0.3]
+    pos[3] = [7.55, -0.3, 0.3]
+    vel[2] = [1.5, 0.0, 0.0]
+    st = st.replace(positions=jnp.asarray(pos), velocities=jnp.asarray(vel))
+    dt = jnp.float32(1 / 30)
+    out, drift, dropped = simulate_cadenced(st, cfg, dt, 8, rebuild_every=8)
+    assert int(dropped) == 0
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 8)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
