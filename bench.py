@@ -89,6 +89,8 @@ def main():
         secc = _timed(
             lambda: simulate_dense(stc, cfgc, dt, 16)[0].positions, 2)
         _, (mx_mov, mx_mis) = simulate_dense(stc, cfgc, dt, 16)
+        assert int(mx_mis) == 0, (
+            f"262k production window must be exact: {int(mx_mis)} masked")
         eff = float(n) * float(n) * (16 / secc)
         print(f"[bench] N={n} particle-life, pallas cell list (production "
               f"path, incremental per-step relayout — exact): "
@@ -97,6 +99,55 @@ def main():
               f"capacity-masked {int(mx_mis)})", file=sys.stderr)
         extra["celllist_steps_per_s_N262k_exact"] = 16 / secc
         extra["effective_pair_interactions_per_sec_N262k_celllist"] = eff
+
+        # --- 1M preset, fenced (round-3 verdict item 3: every headline
+        # number must be regression-gated by an artifact). Window-16 incl.
+        # the one-time sort build, plus the (32-16)-step slope = the
+        # steady-state marginal cost long windows amortize toward. --------
+        try:
+            st1, cfg1, _ = make_scene("particle_life_1m")
+            sec16 = _timed(
+                lambda: simulate_dense(st1, cfg1, dt, 16)[0].positions, 2)
+            sec32 = _timed(
+                lambda: simulate_dense(st1, cfg1, dt, 32)[0].positions, 2)
+            _, (_, mis1m) = simulate_dense(st1, cfg1, dt, 16)
+            assert int(mis1m) == 0, (
+                f"1M production window must be exact: {int(mis1m)} masked")
+            slope1m = (sec32 - sec16) / 16
+            print(f"[bench] N=1,048,576 particle-life production path: "
+                  f"{16 / sec16:.2f} steps/s window-16, marginal "
+                  f"{slope1m * 1e3:.1f} ms/step ({1 / slope1m:.2f} steps/s "
+                  f"steady-state), masked 0", file=sys.stderr)
+            extra["steps_per_s_N1M"] = 16 / sec16
+            extra["steps_per_s_N1M_marginal"] = 1 / slope1m
+        except Exception as e:
+            print(f"[bench] 1M preset bench failed: {e}", file=sys.stderr)
+            extra["n1m_error"] = str(e)[:200]
+
+        # --- cost-aware escalation ladder, fenced (verdict item 3): a
+        # short clustering run through simulate_dense_adaptive must commit
+        # ONLY exact windows while the ladder (sidecar -> escalate ->
+        # culled probe) manages capacity. -------------------------------
+        try:
+            from particle3d_tpu.engine.step import simulate_dense_adaptive
+
+            t0 = time.perf_counter()
+            _, cap_end, hist = simulate_dense_adaptive(
+                stc, cfgc, dt, 64, chunk=16)
+            wall = time.perf_counter() - t0
+            assert all(m == 0 for _, _, m in hist), (
+                f"adaptive ladder committed an inexact window: {hist}")
+            backends = [c for _, c, _ in hist]
+            print(f"[bench] adaptive ladder (N=262k, 64 steps, chunk 16): "
+                  f"{wall:.1f} s wall, end cap {cap_end}, windows "
+                  f"{backends}, every committed window exact",
+                  file=sys.stderr)
+            extra["ladder_64steps_wall_s"] = wall
+            extra["ladder_committed_inexact"] = 0
+        except Exception as e:
+            print(f"[bench] adaptive ladder bench failed: {e}",
+                  file=sys.stderr)
+            extra["ladder_error"] = str(e)[:200]
 
         # --- on-TPU cross-backend equivalence: the production cell kernel
         # must reproduce the triangular all-pairs forces in COMPILED mode
@@ -287,13 +338,18 @@ def main():
             sec2m = (time.perf_counter() - t0) / 10
             dev_stats = jax.devices()[0].memory_stats() or {}
             used = dev_stats.get("bytes_in_use", 0)
+            trouble2m = int(mask2) + int(limbo2)
+            assert trouble2m == 0, (
+                f"slab 2M window committed force-frozen particles: "
+                f"masked {int(mask2)} limbo {int(limbo2)}")
             print(f"[bench] slab stay-sharded N=2M (1 chip): "
                   f"{1/sec2m:.2f} steps/s, carry {hbm/1e9:.2f} GB, device "
                   f"in-use {used/1e9:.2f} GB, masked {int(mask2)} "
-                  f"lost {int(lost2)}", file=sys.stderr)
+                  f"limbo {int(limbo2)} lost {int(lost2)}", file=sys.stderr)
             extra["slab_steps_per_s_N2M"] = 1 / sec2m
             extra["slab_carry_bytes_N2M"] = hbm
             extra["slab_lost_N2M"] = int(lost2)
+            extra["slab_trouble_N2M"] = trouble2m
         except Exception as e:
             print(f"[bench] slab 2M bench failed: {e}", file=sys.stderr)
             extra["slab_2m_error"] = str(e)[:200]

@@ -68,7 +68,7 @@ for nsc, cap in [(24, 32), (28, 32)]:
 # --- 1M sweep ---------------------------------------------------------------
 st1, cfg1, _ = make_scene("particle_life_1m")
 mcap1 = default_mover_capacity(st1.n)
-for nsc, cap in [(44, 32), (40, 32), (32, 32)]:
+for nsc, cap in [(40, 32), (44, 32), (48, 16)]:
     c = cfg1.replace(cell_grid=nsc, cell_capacity=cap)
     ds = jax.jit(build_dense, static_argnames=("nsc", "cap"))(
         st1, c, nsc=nsc, cap=cap)
@@ -77,3 +77,27 @@ for nsc, cap in [(44, 32), (40, 32), (32, 32)]:
     ms_r = slope(lambda k: rebind_scan(ds, c, nsc, cap, mcap1, k), n1=4, n2=10)
     print(f"1M ({nsc},{cap}) slots={nsc**3*cap/1e6:5.2f}M dropped={dropped:6d}"
           f"  kernel {ms_k:6.2f}  rebind {ms_r:6.2f} ms", flush=True)
+
+
+# --- fixed window costs at 1M: RTT floor, build, scatter_back ---------------
+from particle3d_tpu.ops.celllist_dense import scatter_back
+
+trivial = jax.jit(lambda x: x + 1.0)
+
+
+def raw(fn, iters=5):
+    fence(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fence(fn())
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+c = cfg1.replace(cell_grid=40, cell_capacity=32)
+jb = jax.jit(build_dense, static_argnames=("nsc", "cap"))
+ds = jb(st1, c, nsc=40, cap=32)
+jsb = jax.jit(scatter_back)
+x = jnp.ones((8, 128))
+print(f"1M fixed: rtt {raw(lambda: trivial(x)):.1f} ms  "
+      f"build {raw(lambda: jb(st1, c, nsc=40, cap=32).data):.1f} ms  "
+      f"scatter_back {raw(lambda: jsb(ds, st1).positions):.1f} ms", flush=True)

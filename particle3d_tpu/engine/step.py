@@ -242,45 +242,28 @@ def simulate_dense(state: ParticleState, cfg: SimConfig, dt, num_steps: int,
 def _sidecar_apply(f, positions, ds, mis_idx, cfg, valid, nsc, cap):
     """Add the overflow sidecar's exact forces (ops/overflow.py): forces ON
     the misplaced rows (scattered into their — currently zeroed — slots) and
-    forces FROM them onto aligned receivers (``valid``-gated: misplaced
-    receivers already got their complete force, including misplaced pairs,
-    from the receiver-side terms). Uses the O(M * 27 * cap) neighborhood
-    sweep (slot-count-independent) when the grid admits it, the O(M * S)
-    rectangular sweep otherwise. Skipped entirely when no row is misplaced,
-    and TIERED: the cost is linear in the worklist width, so when the live
-    count fits the small tier only that width is swept (mis_idx is compact
-    with trailing sentinels, so the prefix slice keeps every live entry)."""
-    from ..ops.overflow import neighborhood_sweeps, sidecar_sweeps
+    forces FROM them onto aligned receivers. Uses the O(M * 27 * cap)
+    neighborhood sweep (slot-count-independent) when the grid admits it,
+    the O(M * S) rectangular sweep otherwise.
+
+    STRAIGHT-LINE by design: an earlier live-count ``lax.cond`` tiering
+    (skip / 64-wide / full) cost 6.5-8.6 ms/step at N=1M inside the
+    production scan even with an EMPTY worklist — the conditional blocks
+    XLA fusion around the kernel output — while the unconditional full-
+    width sweep runs ~1.5 ms (docs/PERF.md round 4). Dead worklist entries
+    contribute exact zeros, so no-overflow steps just pay the sweep."""
+    from ..ops.overflow import neighborhood_apply, sidecar_sweeps
 
     s_total = ds.pid.shape[0]
-    ocap = mis_idx.shape[0]
-
-    def run(f, mis):
-        mvalid = mis < s_total
-        msafe = jnp.minimum(mis, s_total - 1)
-        if nsc >= 3:
-            f_mis, f_from = neighborhood_sweeps(
-                positions, ds.u, ds.v, ds.r2 > 0.0,
-                positions[msafe], ds.u[msafe], ds.v[msafe], mvalid,
-                cfg, nsc, cap)
-        else:
-            f_mis, f_from = sidecar_sweeps(
-                positions, ds.u, ds.v, ds.pid >= 0,
-                positions[msafe], ds.u[msafe], ds.v[msafe], mvalid, cfg)
-        return f.at[mis].add(f_mis, mode="drop") + f_from * valid
-
-    n_live = jnp.sum((mis_idx < s_total).astype(jnp.int32))
-    small = 64
-    if ocap > small:
-        return jax.lax.cond(
-            n_live == 0, lambda f: f,
-            lambda f: jax.lax.cond(
-                n_live <= small,
-                lambda f: run(f, mis_idx[:small]),
-                lambda f: run(f, mis_idx), f),
-            f)
-    return jax.lax.cond(n_live > 0, lambda f: run(f, mis_idx),
-                        lambda f: f, f)
+    if nsc >= 3:
+        return neighborhood_apply(f, positions, ds.u, ds.v, ds.r2 > 0.0,
+                                  mis_idx, cfg, nsc, cap)
+    mvalid = mis_idx < s_total
+    msafe = jnp.minimum(mis_idx, s_total - 1)
+    f_mis, f_from = sidecar_sweeps(
+        positions, ds.u, ds.v, ds.pid >= 0,
+        positions[msafe], ds.u[msafe], ds.v[msafe], mvalid, cfg)
+    return (f + f_from * valid).at[mis_idx].add(f_mis, mode="drop")
 
 
 def _dense_scan(ds0, cfg: SimConfig, dt, num_steps: int, nsc: int, cap: int,

@@ -192,7 +192,10 @@ def neighborhood_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
     # not row granularity: the [m*27*cap]-index row scatter measured 17.8 ms
     # at (m=512, cap=32) where this block form is ~1 ms (docs/PERF.md round
     # 4); XLA lowers scatter cost by index count, not element count.
-    ok2 = jnp.logical_and(gate, mvalid[:, None])
+    # Receivers are gated to ALIGNED rows here (okj — empty/misplaced slots
+    # in the gathered windows must not receive; misplaced receivers get
+    # their complete force from the two terms above).
+    ok2 = jnp.logical_and(jnp.logical_and(gate, mvalid[:, None]), okj)
     s2 = jnp.where(ok2, scale(safe, jnp.einsum("mkp,mp->mk", uj, mv)), 0.0)
     contrib = (-delta * s2[..., None]).reshape(m, 27, cap, 3)
     gate_cell = jnp.logical_and(cell_ok, mvalid[:, None])  # [m, 27]
@@ -200,6 +203,34 @@ def neighborhood_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
     f_from = jnp.zeros((k_cells, cap, 3), jnp.float32).at[
         dst_cell.reshape(-1)].add(contrib.reshape(-1, cap, 3), mode="drop")
     return f_mis, f_from.reshape(s, 3)
+
+
+def neighborhood_apply(f, positions, u_all, v_all, src_ok, mis, cfg: SimConfig,
+                       nsc: int, cap: int):
+    """STRAIGHT-LINE sidecar application: both ``neighborhood_sweeps`` terms
+    added directly into the slot-force array ``f`` with no ``lax.cond`` and
+    no full-array temporaries.
+
+    Measured motivation (docs/PERF.md round 4): a cond-gated sidecar inside
+    the production scan cost 6.5-8.6 ms/step at N=1M even with an empty
+    worklist — the conditional blocks XLA fusion around the kernel's output
+    — while the full 512-wide sweep runs ~1.5 ms straight-line. Dead
+    worklist entries (index == s_total) contribute exact zeros and their
+    scatters drop, so running unconditionally at full width is exact.
+
+    ``mis`` is the [ocap] worklist of misplaced SLOT indices (s_total-padded,
+    see celllist_dense.rebind); receivers of the reverse term are gated to
+    aligned rows via ``src_ok`` inside the sweep.
+    """
+    s_total = positions.shape[0]
+    mvalid = mis < s_total
+    msafe = jnp.minimum(mis, s_total - 1)
+    f_mis, f_from = neighborhood_sweeps(
+        positions, u_all, v_all, src_ok,
+        positions[msafe], u_all[msafe], v_all[msafe], mvalid,
+        cfg, nsc, cap)
+    # f_from is already receiver-gated (ok2 includes okj) — scatter-free add
+    return (f + f_from).at[mis].add(f_mis, mode="drop")
 
 
 def sidecar_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,

@@ -535,15 +535,16 @@ def pallas_celllist_forces(positions, u, v, cfg: SimConfig,
 
     out = jnp.zeros((n + 1, 3), positions.dtype)
     flat = jnp.where(slot_particle >= 0, slot_particle, n).reshape(-1)
-    out = out.at[flat].add(
-        jnp.transpose(forces_d, (0, 2, 1)).reshape(-1, 3))
+    slotf = jnp.transpose(forces_d, (0, 2, 1)).reshape(-1, 3)
 
     # round 4: capacity-overflow particles (prepare_columns drops cell rank
     # >= cap) get EXACT forces from the overflow sidecar instead of riding
     # the sweep force-dead — the same capacity/Poisson-tail decoupling the
     # production dense path uses (ops/overflow.py), so mean-occupancy
-    # geometries are exact on this fresh-build path too. Skipped entirely
-    # (one scalar cond) when nothing overflowed.
+    # geometries are exact on this fresh-build path too. Straight-line (no
+    # cond — see engine.step._sidecar_apply): dead worklist entries
+    # contribute exact zeros, and f_from folds into the one existing
+    # slot->particle scatter.
     from .celllist_dense import OCAP
     from .compaction import masked_indices
     from .overflow import neighborhood_sweeps
@@ -557,25 +558,19 @@ def pallas_celllist_forces(positions, u, v, cfg: SimConfig,
             jnp.arange(s_tot, dtype=jnp.int32), mode="drop")
         dropped = inv[:n] < 0
         mis_p = masked_indices(dropped, ocap, fill_value=n)
-        n_live = jnp.sum((mis_p < n).astype(jnp.int32))
-
-        def add_sidecar(o):
-            safe = jnp.where(slot >= 0, slot, 0)
-            pos_s = positions[safe].astype(jnp.float32)
-            u_s = u[safe].astype(jnp.float32)
-            v_s = v[safe].astype(jnp.float32)
-            mp = jnp.minimum(mis_p, n - 1)
-            f_mis, f_from = neighborhood_sweeps(
-                pos_s, u_s, v_s, slot >= 0,
-                positions[mp].astype(jnp.float32),
-                u[mp].astype(jnp.float32), v[mp].astype(jnp.float32),
-                mis_p < n, cfg, nsc, cap)
-            o = o.at[mis_p].add(f_mis.astype(o.dtype))
-            # empty-slot rows alias particle 0's coords but their `flat`
-            # target is the dropped n row — inherently gated
-            return o.at[flat].add(f_from.astype(o.dtype))
-
-        out = jax.lax.cond(n_live > 0, add_sidecar, lambda o: o, out)
+        safe = jnp.where(slot >= 0, slot, 0)
+        pos_s = positions[safe].astype(jnp.float32)
+        u_s = u[safe].astype(jnp.float32)
+        v_s = v[safe].astype(jnp.float32)
+        mp = jnp.minimum(mis_p, n - 1)
+        f_mis, f_from = neighborhood_sweeps(
+            pos_s, u_s, v_s, slot >= 0,
+            positions[mp].astype(jnp.float32),
+            u[mp].astype(jnp.float32), v[mp].astype(jnp.float32),
+            mis_p < n, cfg, nsc, cap)
+        out = out.at[mis_p].add(f_mis.astype(out.dtype))
+        slotf = slotf + f_from.astype(slotf.dtype)
+    out = out.at[flat].add(slotf)
     return out[:n]
 
 
