@@ -131,16 +131,16 @@ def main():
         return fn
     print(f"ghost concats+transposes   : {slope(gh_make)*1e3:7.2f} ms")
 
-    # packed-row data concat (the per-step [S,25] rebuild in _dense_scan)
+    # dynamics-row data concat (the per-step [S,9] rebuild in _dense_scan)
     def cc_make(k):
         def fn():
             def body(i, d):
                 data = jnp.concatenate(
-                    [d.pos + 1e-6, d.vel, d.acc, d.data[:, 9:]], axis=1)
+                    [d.pos + 1e-6, d.vel, d.acc], axis=1)
                 return d.replace(data=data)
             return jax.lax.fori_loop(0, k, body, ds)
         return fn
-    print(f"[S,25] data concat         : {slope(cc_make)*1e3:7.2f} ms")
+    print(f"[S,9] data concat          : {slope(cc_make)*1e3:7.2f} ms")
 
 
 if __name__ == "__main__":

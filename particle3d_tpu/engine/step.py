@@ -304,7 +304,7 @@ def _dense_scan(ds0, cfg: SimConfig, dt, num_steps: int, nsc: int, cap: int,
                            accel=ds.acc)
         ps = step(ps, cfg, dt, accel_fn=accel_fn)
         ds = ds.replace(data=jnp.concatenate(
-            [ps.positions, ps.velocities, ps.accel, ds.data[:, 9:]], axis=1))
+            [ps.positions, ps.velocities, ps.accel], axis=1))
         ds, n_mov, n_mis, mis = rebind(ds, cfg, nsc, cap, mcap, ocap)
         if ocap:
             n_mis = n_mis - jnp.sum((mis < s_total).astype(jnp.int32))

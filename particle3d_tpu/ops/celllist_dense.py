@@ -62,26 +62,37 @@ from . import forces as F
 # (force-masked) and counted, as before; cfg.overflow_capacity overrides.
 OCAP = 512
 
-# packed row layout: [pos(3) | vel(3) | acc(3) | U(P) | V(P)]
+# packed row layouts. The single-chip DenseSim splits DYNAMICS (rewritten
+# every step) from the layout-constant pair FEATURES: data rows are
+# [pos(3) | vel(3) | acc(3)], feat rows [U(P) | V(P)]. Besides halving the
+# per-step data rewrite, the split keeps the sidecar's U/V reads on
+# 64-byte-aligned 16-float rows — the strided U/V column slices of the old
+# 25-float row measured ~5 ms/step of the sidecar's in-scan cost at N=1M
+# (docs/PERF.md round 4). The slab decomposition's local pack still uses
+# the combined [pos|vel|acc|U|V] row (these slices index it).
 _POS = slice(0, 3)
 _VEL = slice(3, 6)
 _ACC = slice(6, 9)
 _U = slice(9, 9 + PAIR_P)
 _V = slice(9 + PAIR_P, 9 + 2 * PAIR_P)
 _WIDTH = 9 + 2 * PAIR_P
+_FU = slice(0, PAIR_P)
+_FV = slice(PAIR_P, 2 * PAIR_P)
 
 
 @dataclasses.dataclass(frozen=True)
 class DenseSim:
     """Simulation state living in the flat slot layout (S = nsc^3 * cap).
 
-    data: f32[S, 25] packed rows (see layout above); pid: i32[S] particle id
-    or -1 (empty); r2: f32[S] radius gate — the law's r^2 for a
-    correctly-binned occupant, -1 for empty or misplaced slots
-    (force-invisible).
+    data: f32[S, 9] dynamics rows [pos|vel|acc]; feat: f32[S, 2P] layout-
+    constant pair features [U|V] (moved only by the rebind mover pipeline);
+    pid: i32[S] particle id or -1 (empty); r2: f32[S] radius gate — the
+    law's r^2 for a correctly-binned occupant, -1 for empty or misplaced
+    slots (force-invisible).
     """
 
     data: Any
+    feat: Any
     pid: Any
     r2: Any
 
@@ -99,18 +110,18 @@ class DenseSim:
 
     @property
     def u(self):
-        return self.data[:, _U]
+        return self.feat[:, _FU]
 
     @property
     def v(self):
-        return self.data[:, _V]
+        return self.feat[:, _FV]
 
     def replace(self, **kw) -> "DenseSim":
         return dataclasses.replace(self, **kw)
 
 
 jax.tree_util.register_dataclass(
-    DenseSim, data_fields=["data", "pid", "r2"], meta_fields=[])
+    DenseSim, data_fields=["data", "feat", "pid", "r2"], meta_fields=[])
 
 
 def bin_sid(positions, cfg: SimConfig, nsc: int):
@@ -177,9 +188,11 @@ def build_dense(state, cfg: SimConfig, nsc: int, cap: int,
     packed = jnp.concatenate(
         [state.positions.astype(jnp.float32),
          state.velocities.astype(jnp.float32),
-         state.accel.astype(jnp.float32),
-         u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
+         state.accel.astype(jnp.float32)], axis=1)
+    featp = jnp.concatenate(
+        [u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
     data = jnp.where(present[:, None], packed[safe], 0.0)
+    feat = jnp.where(present[:, None], featp[safe], 0.0)
     r2v = _r2_gate(cfg)
     # the grid-visibility gate is ALIGNMENT, not mere presence: an overflow
     # row parked in a wrong cell must stay kernel-invisible (the sidecar
@@ -188,7 +201,7 @@ def build_dense(state, cfg: SimConfig, nsc: int, cap: int,
     cell_of_slot = jnp.arange(s_total, dtype=jnp.int32) // cap
     aligned = jnp.logical_and(
         present, bin_sid(data[:, _POS], cfg, nsc) == cell_of_slot)
-    return DenseSim(data=data, pid=pid,
+    return DenseSim(data=data, feat=feat, pid=pid,
                     r2=jnp.where(aligned, r2v, -1.0).astype(jnp.float32))
 
 
@@ -369,6 +382,7 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
         else:
             mis = jnp.zeros((0,), jnp.int32)
         return (move(ds.data, 0.0, clear_src=False),
+                move(ds.feat, 0.0, clear_src=False),
                 move(ds.pid, -1, clear_src=True), mis)
 
     # Bounded-work fast path: most steps move far fewer than mcap slots, and
@@ -382,7 +396,7 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     half = mcap // 2
     quarter = mcap // 4
     if quarter >= 1024:
-        data, pid, mis = jax.lax.cond(
+        data, feat, pid, mis = jax.lax.cond(
             n_movers <= quarter,
             lambda: pipeline(idx_full[:quarter]),
             lambda: jax.lax.cond(
@@ -390,12 +404,12 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
                 lambda: pipeline(idx_full[:half]),
                 lambda: pipeline(idx_full)))
     elif half >= 1024:
-        data, pid, mis = jax.lax.cond(
+        data, feat, pid, mis = jax.lax.cond(
             n_movers <= half,
             lambda: pipeline(idx_full[:half]),
             lambda: pipeline(idx_full))
     else:
-        data, pid, mis = pipeline(idx_full)
+        data, feat, pid, mis = pipeline(idx_full)
     # r2 from scratch, elementwise: live gate iff the slot is occupied AND
     # its occupant's cell matches the slot's cell. This uniformly covers
     # placed movers, stayers, capacity-overflow and beyond-mcap movers
@@ -406,4 +420,5 @@ def rebind(ds: DenseSim, cfg: SimConfig, nsc: int, cap: int,
     r2 = jnp.where(aligned, r2v, -1.0)
 
     n_misplaced = jnp.sum(jnp.logical_and(pid >= 0, ~aligned).astype(jnp.int32))
-    return DenseSim(data=data, pid=pid, r2=r2), n_movers, n_misplaced, mis
+    return DenseSim(data=data, feat=feat, pid=pid,
+                    r2=r2), n_movers, n_misplaced, mis

@@ -268,44 +268,73 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                 jnp.where(me == 0, -wv, 0.0))
             from_right = from_right.at[..., 0].add(
                 jnp.where(me == d - 1, wv, 0.0))
-        ext = jnp.concatenate([from_left, pack, from_right], axis=0)
-        pos_e, v_e, r2_e = ext[..., :3], ext[..., 3:3 + PAIR_P], ext[..., 3 + PAIR_P]
-        if g.wrap:
-            # coordinate-shifted z-ghost images (same scheme)
-            zsh = jnp.zeros((3,), jnp.float32).at[2].set(wv)
-            pos_g = jnp.concatenate(
-                [pos_e[:, cs - cap:] - zsh, pos_e, pos_e[:, :cap] + zsh],
-                axis=1)
-            v_g = jnp.concatenate(
-                [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
-            r2_gh = jnp.concatenate(
-                [r2_e[:, cs - cap:], r2_e, r2_e[:, :cap]], axis=1)
-        else:
-            # dead z ghosts (no z wrap), plus the fully-masked dummy
-            # column the kernel's out-of-range y neighbors point at
-            ncol_e = cols_local + 2 * nsc
-            zpad3 = jnp.zeros((ncol_e, cap, 3), jnp.float32)
-            zpadp = jnp.zeros((ncol_e, cap, PAIR_P), jnp.float32)
-            mpad = jnp.full((ncol_e, cap), -1.0, jnp.float32)
-            pos_g = jnp.concatenate([zpad3, pos_e, zpad3], axis=1)
-            v_g = jnp.concatenate([zpadp, v_e, zpadp], axis=1)
-            r2_gh = jnp.concatenate([mpad, r2_e, mpad], axis=1)
-            gl = cs + 2 * cap
-            pos_g = jnp.concatenate(
-                [pos_g, jnp.zeros((1, gl, 3), jnp.float32)], axis=0)
-            v_g = jnp.concatenate(
-                [v_g, jnp.zeros((1, gl, PAIR_P), jnp.float32)], axis=0)
-            r2_gh = jnp.concatenate(
-                [r2_gh, jnp.full((1, gl), -1.0, jnp.float32)], axis=0)
-        out = _call(jnp.transpose(pos_d, (0, 2, 1)),  # slot-minor receiver
-                    jnp.transpose(
-                        dat[:, _U].reshape(cols_local, cs, PAIR_P),
-                        (0, 2, 1)),
-                    jnp.transpose(pos_g, (0, 2, 1)),
-                    jnp.transpose(v_g, (0, 2, 1)),
-                    r2_gh[:, None, :], params_f, cfg_in.force_law, g.wrap,
-                    nsc, cap, g.interpret, halo=True)
-        return jnp.transpose(out, (0, 2, 1)).reshape(-1, 3)
+        u_full = dat[:, _U].reshape(cols_local, cs, PAIR_P)
+
+        def run_call(recv_pos, recv_u, ext):
+            """One halo-mode kernel call: ext is [ncols_src, cs, 12] source
+            planes LEADING and TRAILING with one halo/neighbor plane each
+            (halo-mode nbr_map: source plane of receiver c = c//nsc+1+dx)."""
+            pos_e = ext[..., :3]
+            v_e = ext[..., 3:3 + PAIR_P]
+            r2_e = ext[..., 3 + PAIR_P]
+            if g.wrap:
+                # coordinate-shifted z-ghost images (same scheme)
+                zsh = jnp.zeros((3,), jnp.float32).at[2].set(wv)
+                pos_g = jnp.concatenate(
+                    [pos_e[:, cs - cap:] - zsh, pos_e, pos_e[:, :cap] + zsh],
+                    axis=1)
+                v_g = jnp.concatenate(
+                    [v_e[:, cs - cap:], v_e, v_e[:, :cap]], axis=1)
+                r2_gh = jnp.concatenate(
+                    [r2_e[:, cs - cap:], r2_e, r2_e[:, :cap]], axis=1)
+            else:
+                # dead z ghosts (no z wrap), plus the fully-masked dummy
+                # column the kernel's out-of-range y neighbors point at
+                ncol_e = ext.shape[0]
+                zpad3 = jnp.zeros((ncol_e, cap, 3), jnp.float32)
+                zpadp = jnp.zeros((ncol_e, cap, PAIR_P), jnp.float32)
+                mpad = jnp.full((ncol_e, cap), -1.0, jnp.float32)
+                pos_g = jnp.concatenate([zpad3, pos_e, zpad3], axis=1)
+                v_g = jnp.concatenate([zpadp, v_e, zpadp], axis=1)
+                r2_gh = jnp.concatenate([mpad, r2_e, mpad], axis=1)
+                gl = cs + 2 * cap
+                pos_g = jnp.concatenate(
+                    [pos_g, jnp.zeros((1, gl, 3), jnp.float32)], axis=0)
+                v_g = jnp.concatenate(
+                    [v_g, jnp.zeros((1, gl, PAIR_P), jnp.float32)], axis=0)
+                r2_gh = jnp.concatenate(
+                    [r2_gh, jnp.full((1, gl), -1.0, jnp.float32)], axis=0)
+            out = _call(jnp.transpose(recv_pos, (0, 2, 1)),  # slot-minor
+                        jnp.transpose(recv_u, (0, 2, 1)),
+                        jnp.transpose(pos_g, (0, 2, 1)),
+                        jnp.transpose(v_g, (0, 2, 1)),
+                        r2_gh[:, None, :], params_f, cfg_in.force_law,
+                        g.wrap, nsc, cap, g.interpret, halo=True)
+            return jnp.transpose(out, (0, 2, 1))
+
+        planes = cols_local // nsc
+        if d == 1 or planes < 3:
+            # single-call path (1-device meshes / 2-plane slabs)
+            ext = jnp.concatenate([from_left, pack, from_right], axis=0)
+            return run_call(pos_d, u_full, ext).reshape(-1, 3)
+        # Two-phase split (ROADMAP 14): the INTERIOR planes' sources are all
+        # local (a plane's x neighbors are its slab neighbors), so their
+        # kernel call has no data dependency on the ppermutes — XLA's async
+        # collectives (collective-permute-start/done) can fly while the bulk
+        # of the force work runs; only the two EDGE-plane calls consume the
+        # halos. Exactness: the three receiver groups partition the local
+        # planes, and each call's source window spans exactly the receiver
+        # planes' +-1 neighborhoods (leading/trailing plane in each ext).
+        out_int = run_call(pos_d[nsc:cols_local - nsc],
+                           u_full[nsc:cols_local - nsc], pack)
+        ext_l = jnp.concatenate([from_left, pack[:2 * nsc]], axis=0)
+        out_l = run_call(pos_d[:nsc], u_full[:nsc], ext_l)
+        ext_r = jnp.concatenate([pack[cols_local - 2 * nsc:], from_right],
+                                axis=0)
+        out_r = run_call(pos_d[cols_local - nsc:],
+                         u_full[cols_local - nsc:], ext_r)
+        return jnp.concatenate([out_l, out_int, out_r],
+                               axis=0).reshape(-1, 3)
 
     def body(carry, _):
         data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, \
