@@ -101,25 +101,32 @@ def main():
         extra["effective_pair_interactions_per_sec_N262k_celllist"] = eff
 
         # --- 1M preset, fenced (round-3 verdict item 3: every headline
-        # number must be regression-gated by an artifact). Window-16 incl.
-        # the one-time sort build, plus the (32-16)-step slope = the
-        # steady-state marginal cost long windows amortize toward. --------
+        # number must be regression-gated by an artifact). This scene
+        # leaves its uniform phase within ~2 windows (capacity masking
+        # appears between steps 16 and 32 at the preset geometry — the
+        # exactness horizon, docs/PERF.md round 4), so the steady-state
+        # production rate is the EXACT-WINDOW MARGINAL: the slope between
+        # window-8 and window-16 from init, both asserted exact. The
+        # one-time build + scatter_back cancel in the difference; the
+        # all-in window-16 (incl. them) goes under its own key. ----------
         try:
             st1, cfg1, _ = make_scene("particle_life_1m")
+            sec8 = _timed(
+                lambda: simulate_dense(st1, cfg1, dt, 8)[0].positions, 2)
             sec16 = _timed(
                 lambda: simulate_dense(st1, cfg1, dt, 16)[0].positions, 2)
-            sec32 = _timed(
-                lambda: simulate_dense(st1, cfg1, dt, 32)[0].positions, 2)
-            _, (_, mis1m) = simulate_dense(st1, cfg1, dt, 16)
-            assert int(mis1m) == 0, (
-                f"1M production window must be exact: {int(mis1m)} masked")
-            slope1m = (sec32 - sec16) / 16
+            for k in (8, 16):
+                _, (_, mis1m) = simulate_dense(st1, cfg1, dt, k)
+                assert int(mis1m) == 0, (
+                    f"1M window-{k} must be exact: {int(mis1m)} masked")
+            slope1m = (sec16 - sec8) / 8
             print(f"[bench] N=1,048,576 particle-life production path: "
-                  f"{16 / sec16:.2f} steps/s window-16, marginal "
-                  f"{slope1m * 1e3:.1f} ms/step ({1 / slope1m:.2f} steps/s "
-                  f"steady-state), masked 0", file=sys.stderr)
-            extra["steps_per_s_N1M"] = 16 / sec16
-            extra["steps_per_s_N1M_marginal"] = 1 / slope1m
+                  f"{1 / slope1m:.2f} steps/s steady-state (exact-window "
+                  f"marginal, {slope1m * 1e3:.1f} ms/step), window-16 "
+                  f"all-in {16 / sec16:.2f} steps/s, masked 0",
+                  file=sys.stderr)
+            extra["steps_per_s_N1M"] = 1 / slope1m
+            extra["steps_per_s_N1M_window16"] = 16 / sec16
         except Exception as e:
             print(f"[bench] 1M preset bench failed: {e}", file=sys.stderr)
             extra["n1m_error"] = str(e)[:200]

@@ -59,11 +59,16 @@ def _particle_life_1m(key, n: int | None = None):
     (incremental dense cell layout). Round 4: with the overflow sidecar a
     40^3 grid (width 1.6, ~16 mean occupants, cap 32; ~21 overflow rows
     sidecar-served) replaces the round-3 44^3 — kernel 51.6 -> 35.9
-    ms/sweep, rebind 21.7 -> 17.2 (2.05M vs 2.73M slots); docs/PERF.md
-    round 4."""
+    ms/sweep, rebind 21.7 -> 17.2 (2.05M vs 2.73M slots). The sidecar
+    budget is trimmed to 128 (6x the observed ~21-row queue): its window
+    gathers scale with ocap and the default 512 measured +4.7 ms/step at
+    this geometry (54.7 -> 50.1; docs/PERF.md round 4). Scenes that
+    cluster past the budget escalate via the adaptive ladder as usual
+    (frozen rows are counted, never silent)."""
     n = 1_048_576 if n is None else n
     cfg = reference_config(world_size=64.0).replace(
-        neighbor="celllist_pallas", cell_grid=40, cell_capacity=32)
+        neighbor="celllist_pallas", cell_grid=40, cell_capacity=32,
+        overflow_capacity=128)
     return init_scene(key, n, cfg), cfg, 1.0 / 60.0
 
 

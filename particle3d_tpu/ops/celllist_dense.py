@@ -219,11 +219,16 @@ def scatter_back(ds: DenseSim, state):
     made it into a slot (initial-build capacity overflow) keep their values
     from ``state``.
 
-    TPU scatter cost scales with INDEX COUNT, so this inverts the mapping
-    with ONE duplicate-free int32 scatter (empty slots dump to distinct
-    rows past n — unique indices let XLA vectorize) and reads the three
-    state arrays back as gathers: measured 77 -> 51 ms at 2.05M slots on a
-    v5e vs three [S,3] f32 scatters (docs/PERF.md round 4)."""
+    Cost anatomy on a v5e at 2.05M slots (docs/PERF.md round 4): scatters
+    with DUPLICATE indices (all empty slots dumping on one drop row)
+    serialize — a packed [S, 9] row scatter with a shared drop row costs
+    ~177 ms, while the same scatter with UNIQUE in-bounds indices (each
+    empty slot dumping on its own row past n) vectorizes to ~10 ms; and
+    COLUMN-SLICED row gathers (``data[safe, 0:3]`` x3) cost ~171 ms where
+    ONE full-row gather + static slices costs ~40. Hence: one unique-index
+    i32 inversion scatter + one full-row gather. Never-placed particles
+    (initial-build overflow beyond the sidecar budget) keep their values
+    from ``state``."""
     n = state.positions.shape[0]
     s_total = ds.pid.shape[0]
     occ = ds.pid >= 0
@@ -232,13 +237,16 @@ def scatter_back(ds: DenseSim, state):
         jnp.arange(s_total, dtype=jnp.int32), mode="promise_in_bounds",
         unique_indices=True)[:n]
     placed = inv < s_total
-    safe = jnp.minimum(inv, s_total - 1)
-    out = {}
-    for name, sl in (("positions", _POS), ("velocities", _VEL), ("accel", _ACC)):
-        tgt = getattr(state, name)
-        out[name] = jnp.where(placed[:, None], ds.data[safe, sl],
-                              tgt.astype(jnp.float32)).astype(tgt.dtype)
-    return state.replace(**out)
+    rows = ds.data[jnp.minimum(inv, s_total - 1)]  # ONE full-row gather
+    init = jnp.concatenate(
+        [state.positions.astype(jnp.float32),
+         state.velocities.astype(jnp.float32),
+         state.accel.astype(jnp.float32)], axis=1)
+    out = jnp.where(placed[:, None], rows, init)
+    return state.replace(
+        positions=out[:, _POS].astype(state.positions.dtype),
+        velocities=out[:, _VEL].astype(state.velocities.dtype),
+        accel=out[:, _ACC].astype(state.accel.dtype))
 
 
 def dense_forces_fresh(pos_flat, ds: DenseSim, cfg: SimConfig, nsc: int,

@@ -120,6 +120,12 @@ def neighborhood_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
     pairs double-count — callers fall back to ``sidecar_sweeps``). Directional
     pair law as everywhere (src/lib.rs:223-229): coef(i <- j) = u_i . v_j.
     Returns ``(f_mis [M, 3], f_from [S, 3])`` like ``sidecar_sweeps``.
+
+    The four separate window gathers (pos / u / v / ok) are deliberate: a
+    "pack into [S, 4] + [S, 2P] and gather twice" variant measured 1.2
+    ms/step SLOWER in the production scan at the 1M geometry (49.95 vs
+    48.74, ocap=128 — wider gathered rows cost more than the extra row
+    lookups; docs/PERF.md round 4).
     """
     assert nsc >= 3, "neighbor cells must be distinct (see docstring)"
     s = positions.shape[0]

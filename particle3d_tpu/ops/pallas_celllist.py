@@ -49,7 +49,7 @@ _OFFSETS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
             law: str, wrap: bool, halo: bool, nsc: int, cap: int, zr: int,
-            zr2: int, use_rsqrt: bool):
+            zr2: int, use_rsqrt: bool, unroll: bool = False):
     src_pos = rest[0:9]      # each (1, 3, G) ghosted column, G=(nsc+2)*cap
     src_vt = rest[9:18]      # each (1, P, G)
     src_r2 = rest[18:27]     # each (1, 1, G)
@@ -98,7 +98,12 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
     nsub = zr // zr2
 
     def chunk(ch, _):
-        base = ch * ti       # core-coord row == ghosted-coord window start
+        # core-coord row == ghosted-coord window start. Under ``unroll``
+        # ``ch`` is a python int, so every slice below is STATIC — Mosaic's
+        # 128-lane alignment requirement applies only to DYNAMIC window
+        # starts, which is what frees cell capacities from the
+        # zr*cap % 128 == 0 constraint (see _pick_zr / _call round 4).
+        base = ch * ti
         win = pl.ds(base, wl)
         cols_x = [r[0, 0:1, win] for r in src_pos]
         cols_y = [r[0, 1:2, win] for r in src_pos]
@@ -176,7 +181,11 @@ def _kernel(pf_ref, rec_pos_ref, rec_u_ref, *rest,
         out_ref[0, :, rec] = jnp.transpose(acc_all, (1, 0))  # (3, TI)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk, 0)
+    if unroll:
+        for ch in range(nchunks):
+            chunk(ch, 0)
+    else:
+        jax.lax.fori_loop(0, nchunks, chunk, 0)
 
 
 def _pick_zr(nsc: int, cap: int, require_aligned: bool = False) -> int:
@@ -309,7 +318,17 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     cs = nsc * cap
     g = (nsc + 2) * cap
     p = u_d.shape[1]
-    zr = _pick_zr(nsc, cap, require_aligned=not interpret)
+    # Mosaic's 128-lane alignment rule binds only DYNAMIC in-kernel window
+    # starts (the fori_loop chunk offsets). Capacities with no aligned
+    # z-chunking run the z loop UNROLLED — every slice static — which
+    # compiles at any zr*cap and frees `cap` to hug the mean occupancy
+    # (round 4; measured equivalent and timed in docs/PERF.md round 4).
+    try:
+        zr = _pick_zr(nsc, cap, require_aligned=not interpret)
+        unroll = False
+    except ValueError:
+        zr = _pick_zr(nsc, cap, require_aligned=False)
+        unroll = True
     if zr2 is None or zr2 > zr or zr % zr2 or (zr2 * cap) % 8:
         zr2 = _pick_zr2(zr, cap)
 
@@ -370,7 +389,7 @@ def _call(pos_d, u_d, post_g, vt_g, r2_g, params_f, law, wrap, nsc, cap,
     out = pl.pallas_call(
         functools.partial(
             _kernel, law=law, wrap=wrap, halo=halo, nsc=nsc, cap=cap, zr=zr,
-            zr2=zr2, use_rsqrt=not interpret,
+            zr2=zr2, use_rsqrt=not interpret, unroll=unroll,
         ),
         grid=(ncol,),
         in_specs=in_specs,
