@@ -36,7 +36,7 @@ PLANES = 24
 CAP = 32
 
 
-def build_call(select_free: bool, wrap: bool):
+def build_call(select_free: bool, wrap: bool, pad_rows: int = 1):
     ncol = PLANES * NSC
     cs = NSC * CAP
     g = (NSC + 2) * CAP
@@ -77,7 +77,13 @@ def build_call(select_free: bool, wrap: bool):
         in_specs.append(pl.BlockSpec((1, 1, g), nbr_map(dx, dy),
                                      memory_space=pltpu.VMEM))
 
-    nsrc = (PLANES + 2) * NSC + 1  # halo planes + dummy column
+    # halo planes + dummy column + pad_rows EXTRA unused source columns:
+    # distinct pad_rows per arm makes every arm's HLO unique, defeating the
+    # axon service's remote compile cache (the first run of this repro hit
+    # it — walled arms "compiled" in 0.5 s because bench.py compiles those
+    # exact programs every round, while the periodic arm's accidentally
+    # novel shape paid a fresh 587 s compile)
+    nsrc = (PLANES + 2) * NSC + pad_rows
 
     def fwd(pos_d, u_d, post_g, vt_g, r2_g, params_f):
         return pl.pallas_call(
@@ -110,11 +116,11 @@ def build_call(select_free: bool, wrap: bool):
 def main():
     # fresh Mosaic compiles: no persistent cache
     jax.config.update("jax_compilation_cache_dir", None)
-    for name, select_free, wrap in (
-            ("A periodic          ", False, True),
-            ("B walled where-maps ", False, False),
-            ("C walled select-free", True, False)):
-        fwd, args = build_call(select_free, wrap)
+    for name, select_free, wrap, pad in (
+            ("A periodic          ", False, True, 3),
+            ("B walled where-maps ", False, False, 4),
+            ("C walled select-free", True, False, 5)):
+        fwd, args = build_call(select_free, wrap, pad_rows=pad)
         t0 = time.perf_counter()
         lowered = jax.jit(fwd).lower(*args).compile()
         dt_c = time.perf_counter() - t0
