@@ -188,6 +188,9 @@ def _cmd_tune(a):
 
 
 def main(argv=None):
+    from .utils.platform import honor_env_platforms
+
+    honor_env_platforms()
     p = argparse.ArgumentParser(prog="particle3d_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -383,6 +383,9 @@ def main(argv=None):
     import argparse
 
     from ..models import make_scene
+    from ..utils.platform import honor_env_platforms
+
+    honor_env_platforms()
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="reference")

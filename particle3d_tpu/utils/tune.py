@@ -73,7 +73,12 @@ def candidate_geometries(cfg, n: int, max_candidates: int = 8,
     for nsc in range(nsc_max, max(2, nsc_max // 2 - 1), -1):
         mean_occ = n / float(nsc ** 3)
         caps = set()
-        for s in (2.0, 2.5, 3.0, 4.0):
+        # sub-2x-occupancy capacities became viable in round 4: the overflow
+        # sidecar (ops/overflow.py) serves the Poisson tail exactly, so
+        # capacity wants to hug the MEAN — the hand-retuned 262k production
+        # geometry is 1.7x ((24,32) at mean occ 19). Masked geometries still
+        # rank last, so scenes that overflow the sidecar budget lose nothing.
+        for s in (1.25, 1.5, 2.0, 2.5, 3.0, 4.0):
             raw = max(2, int(-(-mean_occ * s // 1)))
             # round UP to the nearest feasible capacity (the aligned
             # z-chunking constraint rules out most raw values on TPU)

@@ -14,8 +14,20 @@ def test_candidates_respect_cutoff_and_capacity():
     for nsc, cap in cands:
         assert 16.0 / nsc >= 1.0 - 1e-6  # cell width >= PL cutoff
         assert cap >= 2
-        # capacity covers at least ~2x the mean occupancy
-        assert cap >= 2.0 * 4096 / nsc ** 3 - 1
+        # capacity covers at least ~1.25x the mean occupancy (sub-2x
+        # candidates are deliberate: the overflow sidecar serves the tail)
+        assert cap >= 1.25 * 4096 / nsc ** 3 - 1
+
+
+def test_candidates_include_sub_2x_capacity():
+    # round 4: the sidecar makes mean-hugging capacities exact, so the
+    # sweep must offer at least one cap below 2x mean occupancy at a
+    # production-like shape (the hand-tuned 262k geometry is (24,32) =
+    # 1.7x mean; a 2x-floored sweep could never find it)
+    cfg = reference_config(world_size=40.0)
+    cands = candidate_geometries(cfg, 262144, require_aligned=True,
+                                 max_candidates=24)
+    assert any(cap < 2.0 * 262144 / nsc ** 3 for nsc, cap in cands)
 
 
 def test_candidates_aligned_for_tpu():
