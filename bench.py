@@ -50,8 +50,25 @@ def main():
     from particle3d_tpu import reference_config, init_scene, simulate, warmup
     from particle3d_tpu.models import make_scene
 
-    backend = jax.default_backend()
+    # Backend init probes the axon tunnel; when the tunnel is DOWN the
+    # connect-retry loop hangs forever (observed 20+ min, round 4) — and it
+    # would hang INSIDE jax's backend-init lock, so an in-process timeout
+    # can't recover. Probe the tunnel in a SUBPROCESS with a hard timeout
+    # and fall back to CPU before this process ever touches the backend,
+    # so the harness always emits its JSON line.
+    if jax.config.jax_platforms not in ("cpu",):
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, check=True, capture_output=True)
+        except Exception as e:
+            print(f"[bench] TPU backend probe failed ({type(e).__name__}) — "
+                  f"tunnel down? forcing CPU fallback", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
+    backend = jax.default_backend()
     print(f"[bench] backend={backend} device={dev.device_kind}", file=sys.stderr)
 
     on_tpu = dev.platform == "tpu"
