@@ -158,3 +158,36 @@ def test_sub_chunked_kernel_matches_occupied(zr2):
         cfg.force_law, True, nsc, cap, True, zr2=zr2)), (0, 2, 1))
     scale = max(1e-9, float(np.max(np.abs(ref[occ]))))
     assert float(np.max(np.abs(out[occ] - ref[occ]))) / scale < 1e-5
+
+
+def test_unrolled_misaligned_cap_matches_allpairs(monkeypatch):
+    """The unrolled z loop (static chunk offsets, round 4) frees `cap` from
+    the 128-lane alignment rule on real TPUs. Interpret mode never takes
+    that branch on its own (alignment is waived there), so force it: make
+    the aligned _pick_zr attempt fail the way a misaligned cap does on
+    hardware and check the unrolled kernel against dense all-pairs."""
+    import particle3d_tpu.ops.pallas_celllist as PC
+
+    real_pick = PC._pick_zr
+    calls = []
+
+    def pick(nsc, cap, require_aligned=False):
+        # _call's TRY (first call per kernel build) must fail so its
+        # except-branch re-derives zr and sets unroll=True; the re-derive
+        # (second call) gets the real value. Interpret mode passes
+        # require_aligned=False both times, so distinguish by call order.
+        calls.append(require_aligned)
+        if len(calls) % 2 == 1:
+            raise ValueError("forced: no 128-lane-aligned chunking")
+        return real_pick(nsc, cap, require_aligned=False)
+
+    monkeypatch.setattr(PC, "_pick_zr", pick)
+    cfg = reference_config().replace(world_size=12.0)
+    n = 200
+    st = _scene(7, n, cfg)
+    u, v = F.pair_features(st, cfg)
+    want = np.asarray(allpairs_forces(st.positions, u, v, cfg))
+    # interpret=False would need a chip; interpret still honors unroll=True
+    got = np.asarray(pallas_celllist_forces(st.positions, u, v, cfg,
+                                            nsc=4, cap=96))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
