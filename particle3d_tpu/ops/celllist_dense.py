@@ -185,14 +185,18 @@ def build_dense(state, cfg: SimConfig, nsc: int, cap: int,
     present = pid >= 0
     safe = jnp.where(present, pid, 0)
 
+    # ONE combined [N, 9+2P] row gather, split after: TPU gathers price by
+    # index count, not row width (docs/PERF.md round 4 "row-op reality"),
+    # so gathering data and feat rows separately pays the ~40 ms index cost
+    # twice at 2M slots where this pays it once.
     packed = jnp.concatenate(
         [state.positions.astype(jnp.float32),
          state.velocities.astype(jnp.float32),
-         state.accel.astype(jnp.float32)], axis=1)
-    featp = jnp.concatenate(
-        [u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
-    data = jnp.where(present[:, None], packed[safe], 0.0)
-    feat = jnp.where(present[:, None], featp[safe], 0.0)
+         state.accel.astype(jnp.float32),
+         u.astype(jnp.float32), v.astype(jnp.float32)], axis=1)
+    rows = jnp.where(present[:, None], packed[safe], 0.0)
+    data = rows[:, :9]
+    feat = rows[:, 9:]
     r2v = _r2_gate(cfg)
     # the grid-visibility gate is ALIGNMENT, not mere presence: an overflow
     # row parked in a wrong cell must stay kernel-invisible (the sidecar
