@@ -28,7 +28,13 @@ Built on the incrementally-maintained dense layout (``ops.celllist_dense``):
     moved to another slab re-enter the outbox stream. Every overflow
     degrades to force-masked/frozen particles plus a diagnostic count —
     never to wrong forces or lost particles (loss only past ``limbocap``,
-    counted in ``lost``).
+    counted in ``lost``). NOTE: unlike the single-chip dense path, the
+    slab path has NO overflow sidecar (``ops/overflow.py``) — capacity
+    should cover the occupancy tail (the sidecar-tuned mean-hugging preset
+    geometries overflow here by design), or use ``sharded_dense_adaptive``
+    which escalates capacity and ends in an exact terminal rung.
+    Porting the sidecar across slab boundaries (halo-extended neighborhood
+    gathers + a reverse force exchange) is ROADMAP item 20.
 
 The reference's only parallelism is shared-memory rayon threads
 (``src/lib.rs:141-164``); this is the TPU-native multi-chip counterpart.

@@ -67,6 +67,27 @@ def test_particle_conservation_under_overflow():
     assert float(np.abs(np.asarray(out.positions)).max()) <= 8.0 + 1e-5
 
 
+def test_overflow_policy_divergence_is_visible():
+    """The single-chip dense path serves up-to-ocap capacity-overflow rows
+    EXACTLY via the overflow sidecar (ops/overflow.py, round 4); the slab
+    path has no sidecar — overflow waits frozen in limbo (by design,
+    counted). At an overflowing geometry the two paths therefore diverge,
+    and that divergence must be VISIBLE in the slab diagnostics, never
+    silent (this is what bench.py's kernel-equivalence gates tripped over
+    in round 4 at the retuned (24,32) preset — they now compare at a
+    tail-covering capacity instead). Sharded exactness at overflow
+    geometries is sharded_dense_adaptive's job."""
+    st, cfg = _scene(n=1200, seed=5, cell_capacity=4)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    _, (_, ms_dense) = simulate_dense(st, cfg, dt, 4)
+    assert int(ms_dense) == 0  # sidecar keeps the single-chip path exact
+    _, (_, mask_s, limbo_s, lost, _) = sharded_dense_simulate(
+        st, cfg, dt, 4, mesh)
+    assert int(lost) == 0
+    assert int(mask_s) + int(limbo_s) > 0  # divergence is diagnosed, loud
+
+
 def test_tight_mover_cap_masks_but_never_loses():
     """An undersized mover cap (bench tunes mcap to ~2.8x observed movers —
     docs/PERF.md "Slab carry at 2M") must degrade gracefully: surplus
