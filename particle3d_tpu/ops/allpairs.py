@@ -23,10 +23,15 @@ from ..config import SimConfig
 from . import forces as F
 
 
-def _tile_forces(pos_i, u_i, pos_j, v_j, cfg: SimConfig, scale):
+def _tile_forces(pos_i, u_i, pos_j, v_j, cfg: SimConfig, scale,
+                 ok_j=None):
     """Forces on a block of receivers from a block of sources.
 
-    pos_i: [TI,3], u_i: [TI,P], pos_j: [TJ,3], v_j: [TJ,P] -> [TI,3]
+    pos_i: [TI,3], u_i: [TI,P], pos_j: [TJ,3], v_j: [TJ,P] -> [TI,3].
+    ``ok_j`` masks phantom SOURCE rows (padding in compacted buffers) —
+    necessary because the particle-life repulsion term is coefficient-
+    independent (src/lib.rs:55-58), so zeroed V features alone cannot
+    silence a dead row.
     """
     delta = pos_j[None, :, :] - pos_i[:, None, :]  # [TI,TJ,3], i -> j
     if cfg.wrap_forces:
@@ -34,13 +39,15 @@ def _tile_forces(pos_i, u_i, pos_j, v_j, cfg: SimConfig, scale):
     d2 = jnp.sum(delta * delta, axis=-1)  # [TI,TJ]
     r = cfg.particle_effect_radius
     valid = jnp.logical_and(d2 > 0.0, d2 < r * r)
+    if ok_j is not None:
+        valid = jnp.logical_and(valid, ok_j[None, :])
     coef = u_i @ v_j.T  # [TI,TJ] rank-1 pair coefficients
     s = jnp.where(valid, scale(jnp.where(valid, d2, 1.0), coef), 0.0)
     return jnp.einsum("ijc,ij->ic", delta, s)
 
 
 def allpairs_forces(positions, u, v, cfg: SimConfig, block_i: int = 1024,
-                    src_positions=None, src_v=None):
+                    src_positions=None, src_v=None, src_valid=None):
     """Accumulated pair forces, [N,3].
 
     Blocked over receivers with ``lax.map`` so peak memory is
@@ -50,21 +57,24 @@ def allpairs_forces(positions, u, v, cfg: SimConfig, block_i: int = 1024,
 
     ``src_positions``/``src_v`` select a different source set than the
     receivers (rectangular sweep) — used by the ring-sharded backend, where
-    remote position blocks stream past local receivers.
+    remote position blocks stream past local receivers. ``src_valid``
+    masks phantom source rows (compacted/padded buffers).
     """
     if src_positions is None:
         src_positions, src_v = positions, v
     n = positions.shape[0]
     mag = F.scale_fn(cfg)
     if n <= block_i:
-        return _tile_forces(positions, u, src_positions, src_v, cfg, mag)
+        return _tile_forces(positions, u, src_positions, src_v, cfg, mag,
+                            ok_j=src_valid)
     nb = -(-n // block_i)
     pad = nb * block_i - n
     # Padding receivers is safe: padded rows are sliced off at the end.
     pos_i = jnp.pad(positions, ((0, pad), (0, 0))).reshape(nb, block_i, 3)
     u_i = jnp.pad(u, ((0, pad), (0, 0))).reshape(nb, block_i, u.shape[1])
     out = jax.lax.map(
-        lambda args: _tile_forces(args[0], args[1], src_positions, src_v, cfg, mag),
+        lambda args: _tile_forces(args[0], args[1], src_positions, src_v,
+                                  cfg, mag, ok_j=src_valid),
         (pos_i, u_i),
     )
     return out.reshape(nb * block_i, 3)[:n]

@@ -239,6 +239,169 @@ def neighborhood_apply(f, positions, u_all, v_all, src_ok, mis, cfg: SimConfig,
     return (f + f_from).at[mis].add(f_mis, mode="drop")
 
 
+def slab_neighborhood_sweeps(ext, u_all, mpos, mu, mv, mvalid,
+                             cfg: SimConfig, nsc: int, planes_local: int,
+                             cap: int, me):
+    """Slab-decomposition sidecar sweeps (the multi-chip port of
+    ``neighborhood_sweeps`` — ROADMAP item 20): called per device inside
+    ``shard_map``, with sources read from the HALO-EXTENDED plane pack the
+    force kernel already exchanged, so overflow rows straddling a slab
+    boundary get their exact forces with no extra plane traffic.
+
+    Inputs (all per-device local):
+
+      * ``ext`` — f32[(planes_local+2)*nsc, cs, 3+P+1] halo-extended source
+        planes [pos | V | r2]: the step's ``concat(from_left, pack,
+        from_right)`` (leading/trailing halo plane each; wrap-ring edge
+        halos carry the x-image shift / walled kill the kernel applied —
+        the sidecar inherits both for free).
+      * ``u_all`` — f32[s_loc, P] the device's receiver features (term C).
+      * ``mpos/mu/mv/mvalid`` — the COMBINED misplaced rows: the device's
+        own worklist payload first, then each ring neighbor's exchanged
+        payload exactly once (callers dedupe: d==1 ships nothing, d==2 one
+        neighbor buffer, d>=3 two) — a neighbor two slabs away is >= one
+        slab width >= cell width >= cutoff from every local position, so
+        the radius gate annihilates anything farther. Positions are RAW
+        (no image shifts): pair displacements go through ``min_image``
+        when periodic, and the x-plane of each row is mapped into the
+        extended grid by RELATIVE plane distance mod nsc (below), so a
+        neighbor row across the global wrap boundary lands in the halo
+        plane without any coordinate surgery.
+
+    Exactness decomposition (receiver-centric, every ordered pair exactly
+    once across {halo kernel, these sweeps}, each device owning its local
+    receivers):
+
+      * term A, mis <- aligned: window-gathered from ``ext`` (halo planes
+        included), source-gated on the r2 channel (aligned only). Computed
+        for every row of the combined set but only the LOCAL prefix is
+        meaningful (neighbor rows see partial windows here) — callers add
+        ``f_mis[:ocap]`` onto their own worklist slots.
+      * term B, mis <- mis: dense block over the combined set —
+        cross-slab misplaced pairs land here (min-image when periodic).
+      * term C, aligned <- mis: reverse forces from ALL combined mis rows
+        scattered onto LOCAL receiver cells only (window cells in halo
+        planes are dropped — the neighbor computes those onto its own
+        receivers from this device's exchanged payload). Receivers gated
+        aligned via the window's r2 channel.
+
+    Row positions must bin within (or, for neighbor rows, near) the
+    device's slab: local worklists are constructed in-slab (see
+    ``parallel.domain_sharded``); a neighbor row deeper than one plane
+    outside simply sees all-masked windows and a failing radius gate.
+    Directional pair law as everywhere (``src/lib.rs:223-229``).
+    Returns ``(f_mis [M, 3], f_from [s_loc, 3])``, f_from receiver-gated.
+    """
+    assert nsc >= 3, "neighbor cells must be distinct (see docstring)"
+    m = mpos.shape[0]
+    p = mu.shape[1]
+    scale = F.scale_fn(cfg)
+    r2 = _r2_gate(cfg)
+    wrap = bool(cfg.wrap_forces)
+    w = jnp.asarray(cfg.world_size, jnp.float32)
+    k_loc = planes_local * nsc * nsc
+    s_loc = k_loc * cap
+    n_ext_planes = planes_local + 2
+    k_ext = n_ext_planes * nsc * nsc
+
+    mpos = mpos.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    mv = mv.astype(jnp.float32)
+
+    # fresh-position GLOBAL cell coords -> extended-grid plane index
+    # (halo planes sit at 0 and planes_local+1). The x plane is mapped by
+    # RELATIVE plane distance from the slab start: when periodic, mod nsc
+    # with planes past the right halo folded negative, so a neighbor row
+    # across the global wrap boundary lands on prel == -1 (the left halo
+    # plane) with no coordinate shift — pair displacements below all go
+    # through min_image. Rows farther than one plane outside the slab get
+    # an out-of-range px and contribute nothing here (their windows are
+    # fully masked; cross-slab mis<->mis pairs live in term B).
+    cellw = w / nsc
+    c3 = jnp.clip(jnp.floor((mpos + w * 0.5) / cellw).astype(jnp.int32),
+                  0, nsc - 1)
+    prel = c3[:, 0] - me * planes_local
+    if wrap:
+        prel = jnp.remainder(prel, nsc)
+        prel = jnp.where(prel > planes_local, prel - nsc, prel)
+    px = prel + 1
+    o = jnp.arange(-1, 2, dtype=jnp.int32)
+    offs = jnp.stack(jnp.meshgrid(o, o, o, indexing="ij"), -1).reshape(27, 3)
+    pxw = px[:, None] + offs[None, :, 0]           # [m, 27]
+    cyw = c3[:, 1:2] + offs[None, :, 1]
+    czw = c3[:, 2:3] + offs[None, :, 2]
+    ok_x = jnp.logical_and(pxw >= 0, pxw < n_ext_planes)
+    if wrap:
+        cyw = jnp.remainder(cyw, nsc)
+        czw = jnp.remainder(czw, nsc)
+        ok_yz = jnp.ones_like(ok_x)
+    else:
+        ok_yz = jnp.logical_and(
+            jnp.logical_and(cyw >= 0, cyw < nsc),
+            jnp.logical_and(czw >= 0, czw < nsc))
+        cyw = jnp.clip(cyw, 0, nsc - 1)
+        czw = jnp.clip(czw, 0, nsc - 1)
+    cell_ok = jnp.logical_and(ok_x, ok_yz)
+    pxw_c = jnp.clip(pxw, 0, n_ext_planes - 1)
+    cell_ext = (pxw_c * nsc + cyw) * nsc + czw     # [m, 27] ext cell ids
+    k = 27 * cap
+    ok_cell = jnp.broadcast_to(cell_ok[:, :, None],
+                               (m, 27, cap)).reshape(m, k)
+
+    # cell-granularity window gathers (same reasoning as
+    # neighborhood_sweeps: [m, 27] cell indices with [cap, width] blocks
+    # beat row gathers by an order of magnitude on TPU)
+    win = ext.reshape(k_ext, cap, ext.shape[-1])[cell_ext].reshape(m, k, -1)
+    pj = win[..., :3]
+    vj = win[..., 3:3 + p]
+    r2j = win[..., 3 + p]
+    okj = jnp.logical_and(r2j > 0.0, ok_cell)      # aligned sources only
+
+    delta = pj - mpos[:, None, :]                  # i -> j
+    if wrap:
+        delta = F.min_image(delta, w)
+    d2 = jnp.sum(delta * delta, axis=-1)
+    gate = jnp.logical_and(d2 > 0.0, d2 < r2)
+    safe = jnp.where(gate, d2, 1.0)
+
+    # term A: mis <- aligned (halo sources included; only the caller's
+    # local prefix of the output is consumed)
+    ok1 = jnp.logical_and(gate, okj)
+    s1 = jnp.where(ok1, scale(safe, jnp.einsum("mp,mkp->mk", mu, vj)), 0.0)
+    f_mis = jnp.einsum("mkc,mk->mc", delta, s1)
+
+    # term B: mis <- mis over the combined (deduped) set
+    dmm = mpos[None, :, :] - mpos[:, None, :]
+    if wrap:
+        dmm = F.min_image(dmm, w)
+    d2mm = jnp.sum(dmm * dmm, axis=-1)
+    gmm = jnp.logical_and(jnp.logical_and(d2mm > 0.0, d2mm < r2),
+                          mvalid[None, :])
+    smm = jnp.where(gmm, scale(jnp.where(gmm, d2mm, 1.0), mu @ mv.T), 0.0)
+    f_mis = f_mis + jnp.einsum("ijc,ij->ic", dmm, smm)
+
+    # term C: LOCAL aligned receivers <- mis (halo window cells dropped —
+    # owned by the neighbor). Receiver U gathered from the local slot
+    # arrays through the local-cell remap of the same window coordinates.
+    loc_ok = jnp.logical_and(
+        jnp.logical_and(pxw >= 1, pxw <= planes_local), ok_yz)  # [m, 27]
+    cell_loc = ((pxw_c - 1) * nsc + cyw) * nsc + czw
+    uj = u_all.reshape(k_loc, cap, p)[
+        jnp.clip(cell_loc, 0, k_loc - 1)].reshape(m, k, p)
+    loc_ok_k = jnp.broadcast_to(loc_ok[:, :, None],
+                                (m, 27, cap)).reshape(m, k)
+    ok2 = jnp.logical_and(
+        jnp.logical_and(gate, r2j > 0.0),
+        jnp.logical_and(loc_ok_k, mvalid[:, None]))
+    s2 = jnp.where(ok2, scale(safe, jnp.einsum("mkp,mp->mk", uj, mv)), 0.0)
+    contrib = (-delta * s2[..., None]).reshape(m, 27, cap, 3)
+    gate_cell = jnp.logical_and(loc_ok, mvalid[:, None])       # [m, 27]
+    dst_cell = jnp.where(gate_cell, cell_loc, k_loc)           # OOB drops
+    f_from = jnp.zeros((k_loc, cap, 3), jnp.float32).at[
+        dst_cell.reshape(-1)].add(contrib.reshape(-1, cap, 3), mode="drop")
+    return f_mis, f_from.reshape(s_loc, 3)
+
+
 def sidecar_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
                    cfg: SimConfig, block: int = 65536):
     """Both sidecar sweeps in ONE pass over the slot arrays, sharing the

@@ -24,17 +24,28 @@ Built on the incrementally-maintained dense layout (``ops.celllist_dense``):
     ``celllist_dense.rebind``). Slab-crossers are packed into fixed-size
     left/right outboxes, ``ppermute``-d to the neighbor, and placed there.
     Arrivals that find their cell full wait in a per-device LIMBO buffer
-    (frozen + force-invisible) and retry each step; limbo rows whose target
-    moved to another slab re-enter the outbox stream. Every overflow
-    degrades to force-masked/frozen particles plus a diagnostic count —
-    never to wrong forces or lost particles (loss only past ``limbocap``,
-    counted in ``lost``). NOTE: unlike the single-chip dense path, the
-    slab path has NO overflow sidecar (``ops/overflow.py``) — capacity
-    should cover the occupancy tail (the sidecar-tuned mean-hugging preset
-    geometries overflow here by design), or use ``sharded_dense_adaptive``
-    which escalates capacity and ends in an exact terminal rung.
-    Porting the sidecar across slab boundaries (halo-extended neighborhood
-    gathers + a reverse force exchange) is ROADMAP item 20.
+    and retry each step; limbo rows whose target moved to another slab
+    re-enter the outbox stream.
+  * **Overflow sidecar** (round 5, ROADMAP item 20 — the slab port of the
+    single-chip sidecar in ``ops/overflow.py``): capacity-overflow rows
+    (in-slab placement failures left misaligned in their old slot, and
+    in-slab limbo rows) go on a per-device worklist of up to ``ocap``
+    entries and get their EXACT forces from bounded neighborhood sweeps
+    (``overflow.slab_neighborhood_sweeps``) instead of the grid kernel —
+    so slab cell capacity can hug the MEAN occupancy exactly like the
+    single-chip production geometries ((24,32) at 262k, 40^3 at 1M).
+    Sources come from the halo-extended plane pack the force kernel
+    already exchanged (no extra plane traffic); cross-slab pairs are
+    served by exchanging the small worklist payloads with the ring
+    neighbors — each device then computes the reverse forces onto its OWN
+    receivers from the combined set, so no force exchange is needed.
+    Worklist rows integrate normally (limbo rows included). Only rows the
+    sidecar cannot serve — out-of-slab binners stuck past the outbox,
+    misplaced/limbo rows beyond ``ocap``, movers beyond ``mcap`` — are
+    force-frozen, and the ``max_masked``/``max_limbo`` diagnostics count
+    exactly those UNSERVED rows (served rows are exact, not trouble).
+    Loss only past ``limbocap``, counted in ``lost``. ``ocap=0`` disables
+    the sidecar and restores the freeze-and-count behavior.
 
 The reference's only parallelism is shared-memory rayon threads
 (``src/lib.rs:141-164``); this is the TPU-native multi-chip counterpart.
@@ -95,12 +106,13 @@ class _Geom:
     mcap: int
     migcap: int
     limbocap: int
+    ocap: int
     interpret: bool
     wrap: bool
 
 
 def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
-              limbocap, axis: str, interpret) -> _Geom:
+              limbocap, axis: str, interpret, ocap=None) -> _Geom:
     if nsc is None:
         nsc = cfg.cell_grid
     if cap is None:
@@ -146,11 +158,20 @@ def _geometry(cfg: SimConfig, mesh, n: int, nsc, cap, mcap, migcap,
         limbocap = migcap
     if interpret is None:
         interpret = _use_interpret()
+    if ocap is None:
+        # per-DEVICE sidecar budget (the worklists are per-slab; the
+        # exchange ships up to ocap rows each way). The neighborhood sweep
+        # needs distinct window cells (nsc >= 3) — tiny grids fall back to
+        # the no-sidecar behavior rather than a wrong sweep.
+        from ..ops.celllist_dense import OCAP
+        ocap = OCAP if cfg.overflow_capacity is None else cfg.overflow_capacity
+    if nsc < 3:
+        ocap = 0
     return _Geom(d=d, nsc=nsc, cap=cap, planes_local=planes_local,
                  cols_local=cols_local, cs=cs, s_loc=cols_local * cs,
                  k_loc=cols_local * nsc, k_glob=nsc ** 3, mcap=mcap,
-                 migcap=migcap, limbocap=limbocap, interpret=bool(interpret),
-                 wrap=bool(cfg.wrap_forces))
+                 migcap=migcap, limbocap=limbocap, ocap=int(ocap),
+                 interpret=bool(interpret), wrap=bool(cfg.wrap_forces))
 
 
 def _assign_slots(pid, tgt_local, valid, k_loc: int, cap: int):
@@ -223,16 +244,49 @@ def _local_build(s, cfg_in, g: _Geom, axis: str):
     return data, pid, limbo_data, limbo_pid, lost0
 
 
+def _initial_worklist(data, pid, limbo_data, limbo_pid, cfg_in, g: _Geom,
+                      axis: str):
+    """Sidecar worklist for a freshly-entered carry: combined indices
+    (slots [0, s_loc), limbo [s_loc, s_loc+limbocap)) of rows the sidecar
+    can serve — misaligned-but-in-slab slot occupants plus in-slab limbo
+    rows — ascending, padded with the s_loc+limbocap sentinel. O(S) rank
+    scan, run once per window; per-step maintenance comes from the move
+    phase (the slab counterpart of ``celllist_dense.sidecar_indices``)."""
+    sent = g.s_loc + g.limbocap
+    if not g.ocap:
+        return jnp.zeros((0,), jnp.int32)
+    me = jax.lax.axis_index(axis)
+    cell_lo = me * g.k_loc
+    cell_of_slot = cell_lo + jnp.arange(g.s_loc, dtype=jnp.int32) // g.cap
+    sid = bin_sid(data[:, _POS], cfg_in, g.nsc)
+    tloc = sid - cell_lo
+    mis_slot = jnp.logical_and(
+        jnp.logical_and(pid >= 0, sid != cell_of_slot),
+        jnp.logical_and(tloc >= 0, tloc < g.k_loc))
+    lt = jnp.where(limbo_pid >= 0,
+                   bin_sid(limbo_data[:, _POS], cfg_in, g.nsc) - cell_lo, -1)
+    mis_lim = jnp.logical_and(lt >= 0, lt < g.k_loc)
+    return masked_indices(jnp.concatenate([mis_slot, mis_lim]), g.ocap,
+                          fill_value=sent)
+
+
 def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
-                    species_dtype, masses_dtype):
-    """The per-step closure: halo forces + integrate + rebind/migration."""
+                    species_dtype, masses_dtype, move_only: bool = False):
+    """The per-step closure: halo forces (+ overflow sidecar) + integrate +
+    rebind/migration. ``move_only`` skips forces+integration entirely —
+    a pure layout-repair pass (``sharded_relayout``): positions are fixed,
+    each pass ships out-of-slab rows one ring hop toward their target and
+    retries placement."""
     perm_fwd = [(i, (i + 1) % g.d) for i in range(g.d)]   # to the RIGHT
     perm_bwd = [(i, (i - 1) % g.d) for i in range(g.d)]   # to the LEFT
     me = jax.lax.axis_index(axis)
     cell_lo = me * g.k_loc
     cell_global_of_slot = cell_lo + jnp.arange(g.s_loc, dtype=jnp.int32) // g.cap
-    dummy_species = jnp.zeros((g.s_loc,), species_dtype)
-    dummy_masses = jnp.zeros((g.s_loc,), masses_dtype)
+    ocap = g.ocap
+    sent = g.s_loc + g.limbocap            # worklist sentinel / drop index
+    n_int = g.s_loc + (g.limbocap if ocap else 0)  # rows that integrate
+    dummy_species = jnp.zeros((n_int,), species_dtype)
+    dummy_masses = jnp.zeros((n_int,), masses_dtype)
     r2v = _r2_gate(cfg_in).astype(jnp.float32)
     nsc, cap, cs, cols_local = g.nsc, g.cap, g.cs, g.cols_local
     s_loc, k_loc, k_glob = g.s_loc, g.k_loc, g.k_glob
@@ -322,7 +376,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         if d == 1 or planes < 3:
             # single-call path (1-device meshes / 2-plane slabs)
             ext = jnp.concatenate([from_left, pack, from_right], axis=0)
-            return run_call(pos_d, u_full, ext).reshape(-1, 3)
+            return run_call(pos_d, u_full, ext).reshape(-1, 3), ext
         # Two-phase split (ROADMAP 14): the INTERIOR planes' sources are all
         # local (a plane's x neighbors are its slab neighbors), so their
         # kernel call has no data dependency on the ppermutes — XLA's async
@@ -339,11 +393,16 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                                 axis=0)
         out_r = run_call(pos_d[cols_local - nsc:],
                          u_full[cols_local - nsc:], ext_r)
+        # the sidecar reads the full halo-extended pack; assembling it here
+        # is concat-only (the pieces already exist) and only the worklist's
+        # bounded window gathers ever touch it
+        ext = jnp.concatenate([from_left, pack, from_right], axis=0) \
+            if ocap else None
         return jnp.concatenate([out_l, out_int, out_r],
-                               axis=0).reshape(-1, 3)
+                               axis=0).reshape(-1, 3), ext
 
     def body(carry, _):
-        data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, \
+        data, pid, limbo_data, limbo_pid, mis, mx_mov, mx_mask, mx_limbo, \
             lost, shipped = carry
 
         aligned = jnp.logical_and(
@@ -353,15 +412,83 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
 
         # -- integrate ---------------------------------------------------
         def accel_fn(positions, st, c):
-            f = halo_forces(positions, data, r2)
-            return f * (FF.kick_scale(c) * (r2 > 0.0)[:, None])
+            f, ext = halo_forces(positions[:s_loc], data, r2)
+            f = f * (r2 > 0.0)[:, None]
+            if ocap:
+                # overflow sidecar (module docstring): exact forces for the
+                # worklist rows + their reverse forces onto local aligned
+                # receivers. Worklist payloads (pos fresh from `positions`,
+                # U/V layout-constant) are exchanged with the ring
+                # neighbors so cross-slab pairs are served on BOTH sides —
+                # each device computes forces onto its own receivers from
+                # the combined set (no reverse force exchange needed).
+                # Straight-line at full ocap width by design: dead entries
+                # contribute exact zeros (see engine.step._sidecar_apply
+                # for the measured cond-vs-straight-line motivation).
+                from ..ops.overflow import slab_neighborhood_sweeps
 
-        ps = ParticleState(positions=data[:, _POS], velocities=data[:, _VEL],
-                           species=dummy_species, masses=dummy_masses,
-                           accel=data[:, _ACC])
-        ps = _step(ps, cfg_in, dt_in, accel_fn=accel_fn)
-        data = jnp.concatenate(
-            [ps.positions, ps.velocities, ps.accel, data[:, 9:]], axis=1)
+                msafe = jnp.minimum(mis, sent - 1)
+                mval = mis < sent
+                is_lim = msafe >= s_loc
+                rows = jnp.where(
+                    is_lim[:, None],
+                    limbo_data[jnp.clip(msafe - s_loc, 0, limbocap - 1)],
+                    data[jnp.minimum(msafe, s_loc - 1)])
+                pay = jnp.concatenate(
+                    [positions[msafe], rows[:, _U], rows[:, _V],
+                     mval[:, None].astype(jnp.float32)], axis=1)
+                if d == 1:
+                    comb = pay
+                elif d == 2:
+                    # fwd and bwd reach the SAME neighbor — ship once
+                    comb = jnp.concatenate(
+                        [pay, jax.lax.ppermute(pay, axis, perm_fwd)], axis=0)
+                else:
+                    comb = jnp.concatenate(
+                        [pay, jax.lax.ppermute(pay, axis, perm_fwd),
+                         jax.lax.ppermute(pay, axis, perm_bwd)], axis=0)
+                f_mis, f_from = slab_neighborhood_sweeps(
+                    ext, data[:, _U], comb[:, :3],
+                    comb[:, 3:3 + PAIR_P], comb[:, 3 + PAIR_P:3 + 2 * PAIR_P],
+                    comb[:, -1] > 0.0, c, nsc, g.planes_local, cap, me)
+                f = jnp.concatenate(
+                    [f + f_from, jnp.zeros((limbocap, 3), f.dtype)], axis=0)
+                # term A+B are only complete for the LOCAL prefix (neighbor
+                # rows see partial windows here; their owner serves them)
+                f = f.at[mis].add(f_mis[:ocap], mode="drop")
+            return f * FF.kick_scale(c)
+
+        if move_only:
+            pass  # transport only: positions/velocities untouched
+        elif ocap:
+            # limbo rows integrate too: worklist-served ones with their
+            # exact sidecar forces, unserved ones ballistically (the same
+            # degradation as unserved misaligned slot rows — zero pair
+            # force, never wrong). Dead limbo rows integrate garbage that
+            # the move phase's limbo rebuild discards every step.
+            ps = ParticleState(
+                positions=jnp.concatenate(
+                    [data[:, _POS], limbo_data[:, _POS]], axis=0),
+                velocities=jnp.concatenate(
+                    [data[:, _VEL], limbo_data[:, _VEL]], axis=0),
+                species=dummy_species, masses=dummy_masses,
+                accel=jnp.concatenate(
+                    [data[:, _ACC], limbo_data[:, _ACC]], axis=0))
+            ps = _step(ps, cfg_in, dt_in, accel_fn=accel_fn)
+            data = jnp.concatenate(
+                [ps.positions[:s_loc], ps.velocities[:s_loc],
+                 ps.accel[:s_loc], data[:, 9:]], axis=1)
+            limbo_data = jnp.concatenate(
+                [ps.positions[s_loc:], ps.velocities[s_loc:],
+                 ps.accel[s_loc:], limbo_data[:, 9:]], axis=1)
+        else:
+            ps = ParticleState(
+                positions=data[:, _POS], velocities=data[:, _VEL],
+                species=dummy_species, masses=dummy_masses,
+                accel=data[:, _ACC])
+            ps = _step(ps, cfg_in, dt_in, accel_fn=accel_fn)
+            data = jnp.concatenate(
+                [ps.positions, ps.velocities, ps.accel, data[:, 9:]], axis=1)
 
         # -- extract movers ----------------------------------------------
         occupied = pid >= 0
@@ -393,11 +520,17 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             tslab = jnp.minimum(all_tgt, k_glob - 1) \
                 // (g.planes_local * nsc * nsc)
             in_slab = jnp.logical_and(all_ok, tslab == me)
-            go_left = jnp.logical_and(
-                jnp.logical_and(all_ok, ~in_slab), tslab == (me - 1) % d)
-            go_right = jnp.logical_and(
-                jnp.logical_and(jnp.logical_and(all_ok, ~in_slab), ~go_left),
-                tslab == (me + 1) % d)
+            # route by RING DISTANCE, one hop toward the shorter direction
+            # (round 5): a row targeting a non-adjacent slab ships hop by
+            # hop through intermediate devices' limbo instead of freezing
+            # in place forever — ±1 targets behave exactly as before, and
+            # the exact terminal rung's relayout passes rely on multi-hop
+            # routing to repair arbitrarily drifted layouts.
+            dl = (me - tslab) % d                  # hops going LEFT
+            dr = (tslab - me) % d                  # hops going RIGHT
+            out = jnp.logical_and(all_ok, ~in_slab)
+            go_left = jnp.logical_and(out, dl <= dr)
+            go_right = jnp.logical_and(out, dr < dl)
 
             # -- outboxes (fixed size; unselected rows stay put/masked) --
             def pack_box(mask):
@@ -439,6 +572,12 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             data2 = data.at[dst_a].set(vals_a, mode="drop")
             pid2 = pid2.at[dst_a].set(
                 jnp.where(can_a, pids_a, -1), mode="drop")
+            # sidecar worklist, slot half: in-slab movers that failed
+            # placement stay misaligned in their old slot — the sidecar
+            # serves them next step (celllist_dense.rebind's `fail` rule)
+            if ocap:
+                fail_a = jnp.logical_and(in_slab[:mcap_e][order_a], ~can_a)
+                mis_slot = jnp.where(fail_a, idx_m[order_a], sent)
 
             # -- exchange outboxes ---------------------------------------
             inL_d = jax.lax.ppermute(boxR_d, axis, perm_fwd)
@@ -475,8 +614,24 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             n_limbo = jnp.sum((limbo_pid2 >= 0).astype(jnp.int32))
             lost_inc = jnp.maximum(
                 jnp.sum((left_p >= 0).astype(jnp.int32)) - n_limbo, 0)
+            # sidecar worklist, limbo half + compaction to combined indices
+            if ocap:
+                lt2 = jnp.where(
+                    limbo_pid2 >= 0,
+                    bin_sid(limbo_data2[:, _POS], cfg_in, nsc) - cell_lo, -1)
+                l_serve = jnp.logical_and(lt2 >= 0, lt2 < k_loc)
+                mis_lim = jnp.where(
+                    l_serve,
+                    s_loc + jnp.arange(limbocap, dtype=jnp.int32), sent)
+                cand = jnp.concatenate([mis_slot, mis_lim])
+                cl = cand.shape[0]
+                ci = masked_indices(cand < sent, ocap, fill_value=cl)
+                mis2 = jnp.where(ci < cl,
+                                 cand[jnp.minimum(ci, cl - 1)], sent)
+            else:
+                mis2 = jnp.zeros((0,), jnp.int32)
             return (data2, pid2, limbo_data2, limbo_pid2, n_ship, n_limbo,
-                    lost_inc)
+                    lost_inc, mis2)
 
         # Bounded-work fast path (the slab counterpart of rebind's): when
         # this step's movers fit in mcap/2 AND each outbox direction's
@@ -489,17 +644,21 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         half_m = mcap // 2 // 128 * 128
         half_g = migcap // 2 // 128 * 128
         if half_m >= 512 and half_g >= 128:
+            # same ring-distance routing rule as move_phase (the gate must
+            # never under-count a direction the phase will actually ship)
             pl3 = g.planes_local * nsc * nsc
             t_slab = jnp.minimum(sid_new, k_glob - 1) // pl3
             cross = jnp.logical_and(moved, t_slab != me)
-            cl = jnp.logical_and(cross, t_slab == (me - 1) % d)
-            cr = jnp.logical_and(jnp.logical_and(cross, ~cl),
-                                 t_slab == (me + 1) % d)
+            dl_c = (me - t_slab) % d
+            dr_c = (t_slab - me) % d
+            cl = jnp.logical_and(cross, dl_c <= dr_c)
+            cr = jnp.logical_and(cross, dr_c < dl_c)
             l_slab = jnp.minimum(tgt_l, k_glob - 1) // pl3
             l_out = jnp.logical_and(limbo_pid >= 0, l_slab != me)
-            ll = jnp.logical_and(l_out, l_slab == (me - 1) % d)
-            lr = jnp.logical_and(jnp.logical_and(l_out, ~ll),
-                                 l_slab == (me + 1) % d)
+            dl_l = (me - l_slab) % d
+            dr_l = (l_slab - me) % d
+            ll = jnp.logical_and(l_out, dl_l <= dr_l)
+            lr = jnp.logical_and(l_out, dr_l < dl_l)
             nL = jnp.sum(cl.astype(jnp.int32)) + \
                 jnp.sum(ll.astype(jnp.int32))
             nR = jnp.sum(cr.astype(jnp.int32)) + \
@@ -509,21 +668,29 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                 jnp.logical_and(nL <= half_g, nR <= half_g))
             all_fit = jax.lax.pmin(fits.astype(jnp.int32), axis) > 0
             (data, pid, limbo_data, limbo_pid, n_ship, n_limbo,
-             lost_inc) = jax.lax.cond(
+             lost_inc, mis) = jax.lax.cond(
                 all_fit,
                 lambda: move_phase(half_m, half_g),
                 lambda: move_phase(mcap, migcap))
         else:
             (data, pid, limbo_data, limbo_pid, n_ship, n_limbo,
-             lost_inc) = move_phase(mcap, migcap)
+             lost_inc, mis) = move_phase(mcap, migcap)
         lost = lost + lost_inc
 
         n_mask = jnp.sum(jnp.logical_and(
             pid >= 0,
             bin_sid(data[:, _POS], cfg_in, nsc) != cell_global_of_slot
         ).astype(jnp.int32))
+        if ocap:
+            # served rows are exact — mask/limbo diagnostics count only
+            # UNSERVED (force-frozen) rows (worklist slot entries are
+            # misaligned by construction, limbo entries live, so the
+            # subtractions cannot go negative)
+            n_mask = n_mask - jnp.sum((mis < s_loc).astype(jnp.int32))
+            n_limbo = n_limbo - jnp.sum(jnp.logical_and(
+                mis >= s_loc, mis < sent).astype(jnp.int32))
 
-        return (data, pid, limbo_data, limbo_pid,
+        return (data, pid, limbo_data, limbo_pid, mis,
                 jnp.maximum(mx_mov, n_mov), jnp.maximum(mx_mask, n_mask),
                 jnp.maximum(mx_limbo, n_limbo), lost,
                 shipped + n_ship), None
@@ -566,23 +733,26 @@ def _gather_state(data, pid, limbo_data, limbo_pid, s, axis):
 
 @functools.partial(jax.jit, static_argnames=(
     "num_steps", "nsc", "cap", "mcap", "migcap", "limbocap", "axis", "mesh",
-    "interpret"))
+    "interpret", "ocap"))
 def sharded_dense_simulate(state: ParticleState, cfg: SimConfig, dt,
                            num_steps: int, mesh, nsc: int | None = None,
                            cap: int | None = None, mcap: int | None = None,
                            migcap: int | None = None,
                            limbocap: int | None = None, axis: str = AXIS,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           ocap: int | None = None):
     """State-sharded exact cell-list trajectory (module docstring).
 
     Returns ``(final_state, (max_movers, max_masked, max_limbo, lost,
     shipped_total))`` — per-device maxima / totals psum-reduced over the
     mesh. Requires ``nsc % mesh_size == 0``; periodic and walled boxes
-    both supported.
-    """
+    both supported. ``max_masked``/``max_limbo`` count only rows the
+    overflow sidecar could NOT serve (``ocap`` is the per-device sidecar
+    budget, default ``cfg.overflow_capacity`` or ``celllist_dense.OCAP``;
+    0 disables the sidecar)."""
     n = state.positions.shape[0]
     g = _geometry(cfg, mesh, n, nsc, cap, mcap, migcap, limbocap, axis,
-                  interpret)
+                  interpret, ocap)
     params_f = pack_params(cfg)
 
     @functools.partial(
@@ -596,11 +766,14 @@ def sharded_dense_simulate(state: ParticleState, cfg: SimConfig, dt,
             s, cfg_in, g, axis)
         body = _make_step_body(cfg_in, dt_in, g, axis, params_f,
                                s.species.dtype, jnp.float32)
-        carry0 = (data, pid, limbo_data, limbo_pid,
+        mis0 = _initial_worklist(data, pid, limbo_data, limbo_pid, cfg_in,
+                                 g, axis)
+        carry0 = (data, pid, limbo_data, limbo_pid, mis0,
                   jnp.int32(0), jnp.int32(0), jnp.int32(0), lost0,
                   jnp.int32(0))
-        (data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, lost,
-         shipped), _ = jax.lax.scan(body, carry0, None, length=num_steps)
+        (data, pid, limbo_data, limbo_pid, _, mx_mov, mx_mask, mx_limbo,
+         lost, shipped), _ = jax.lax.scan(body, carry0, None,
+                                          length=num_steps)
         out = _gather_state(data, pid, limbo_data, limbo_pid, s, axis)
         return out, _reduce_diag(mx_mov, mx_mask, mx_limbo, lost, shipped,
                                  axis)
@@ -699,15 +872,16 @@ def init_sharded_dense(key, n: int, cfg: SimConfig, mesh,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_steps", "nsc", "cap", "mcap", "migcap", "axis", "mesh", "interpret",
-    "n"))
+    "n", "ocap"))
 def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                         nsc: int | None = None, cap: int | None = None,
                         mcap: int | None = None, migcap: int | None = None,
                         axis: str = AXIS, interpret: bool | None = None,
-                        n: int | None = None):
+                        n: int | None = None, ocap: int | None = None):
     """Advance a stay-sharded carry by ``num_steps`` (no replicated round
     trip). Returns ``(carry, (max_movers, max_masked, max_limbo, lost,
-    shipped))`` with ``lost``/``shipped`` counted for this window only.
+    shipped))`` with ``lost``/``shipped`` counted for this window only;
+    mask/limbo count only rows the overflow sidecar could not serve.
 
     Pass ``n`` (the true particle count) so the mover/outbox pipelines get
     the same static sizes as ``sharded_dense_simulate`` for that N — the
@@ -719,7 +893,7 @@ def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     limbocap = limbo_pid.shape[0] // d
     n_hint = pid.shape[0] if n is None else n
     g = _geometry(cfg, mesh, n_hint, nsc, cap, mcap, migcap, limbocap, axis,
-                  interpret)
+                  interpret, ocap)
     params_f = pack_params(cfg)
 
     @functools.partial(
@@ -733,11 +907,14 @@ def sharded_dense_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     def run(data, pid, limbo_data, limbo_pid, cfg_in, dt_in):
         body = _make_step_body(cfg_in, dt_in, g, axis, params_f,
                                jnp.int32, jnp.float32)
-        carry0 = (data, pid, limbo_data, limbo_pid,
+        mis0 = _initial_worklist(data, pid, limbo_data, limbo_pid, cfg_in,
+                                 g, axis)
+        carry0 = (data, pid, limbo_data, limbo_pid, mis0,
                   jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
                   jnp.int32(0))
-        (data, pid, limbo_data, limbo_pid, mx_mov, mx_mask, mx_limbo, lost,
-         shipped), _ = jax.lax.scan(body, carry0, None, length=num_steps)
+        (data, pid, limbo_data, limbo_pid, _, mx_mov, mx_mask, mx_limbo,
+         lost, shipped), _ = jax.lax.scan(body, carry0, None,
+                                          length=num_steps)
         diag = _reduce_diag(mx_mov, mx_mask, mx_limbo, lost, shipped, axis)
         return (data, pid, limbo_data, limbo_pid,
                 jax.lax.psum(lost, axis)), diag
@@ -807,13 +984,178 @@ def recap_sharded_dense(carry, cfg: SimConfig, mesh, nsc: int, cap_old: int,
     return (data, pid, limbo_data, limbo_pid, lost)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "num_steps", "rcap", "axis", "mesh"))
+def sharded_exact_steps(carry, cfg: SimConfig, dt, num_steps: int, mesh,
+                        rcap: int, axis: str = AXIS):
+    """Capacity-free EXACT window on a stay-sharded carry — the slab
+    adaptive driver's DE-REPLICATED terminal rung (round 5).
+
+    Each device compacts its live rows (occupied slots + live limbo) into
+    an ``rcap``-row buffer and runs ``num_steps`` of ring all-pairs
+    (``parallel.ring.ring_forces_masked``): position/V/validity blocks
+    circulate the mesh once per step, so every receiver sees every source
+    with per-device memory O(rcap) = O(N/D) — no all-gather, no
+    replicated state, unlike the round-4 rung that gathered 16M particles
+    to every chip at exactly the scale the slab decomposition exists for.
+    Pair features come from the rows' own U/V columns, so no particle-
+    order template state is needed. Rows keep their slots for the whole
+    window (slots are just storage here — alignment is irrelevant to the
+    ring); ``sharded_relayout`` repairs the layout afterwards.
+
+    ``rcap`` must cover every device's live rows: callers compute it from
+    the carry (live counts are exact at call time — no migration happens
+    inside the window) and the returned ``overflow`` (psum over devices)
+    MUST be zero for the window to be exact; the adaptive driver treats
+    overflow as a rewind trigger. Reference semantics: every particle
+    feels every in-range force every step (src/lib.rs:171-243).
+
+    Returns ``(carry, overflow)``."""
+    from .ring import ring_forces_masked
+
+    data, pid, limbo_data, limbo_pid, lost = carry
+    d = mesh.shape[axis]
+    s_loc = pid.shape[0] // d
+    limbocap = limbo_pid.shape[0] // d
+    nl = s_loc + limbocap
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  jax.tree.map(lambda _: P(), cfg), P()),
+        out_specs=((P(axis), P(axis), P(axis), P(axis)), P()),
+        check_vma=False,
+    )
+    def run(data, pid, ld, lp, cfg_in, dt_in):
+        live = jnp.concatenate([pid >= 0, lp >= 0])
+        idx = masked_indices(live, rcap, fill_value=nl)
+        ok = idx < nl
+        idxs = jnp.minimum(idx, nl - 1)
+        is_lim = idxs >= s_loc
+        rows = jnp.where(
+            is_lim[:, None],
+            ld[jnp.clip(idxs - s_loc, 0, limbocap - 1)],
+            data[jnp.minimum(idxs, s_loc - 1)])
+        rows = jnp.where(ok[:, None], rows, 0.0)
+        overflow = jnp.sum(live.astype(jnp.int32)) \
+            - jnp.sum(ok.astype(jnp.int32))
+        u = rows[:, _U]
+        v = rows[:, _V]
+
+        def accel_fn(positions, st, c):
+            f = ring_forces_masked(positions, u, v, ok, c, axis=axis)
+            return f * FF.kick_scale(c)
+
+        ps = ParticleState(positions=rows[:, _POS],
+                           velocities=rows[:, _VEL],
+                           species=jnp.zeros((rcap,), jnp.int32),
+                           masses=jnp.zeros((rcap,), jnp.float32),
+                           accel=rows[:, _ACC])
+
+        def body(s, _):
+            return _step(s, cfg_in, dt_in, accel_fn=accel_fn), None
+
+        ps, _ = jax.lax.scan(body, ps, None, length=num_steps)
+        new9 = jnp.concatenate(
+            [ps.positions, ps.velocities, ps.accel], axis=1)
+        slot_dst = jnp.where(jnp.logical_and(ok, ~is_lim), idxs, s_loc)
+        lim_dst = jnp.where(jnp.logical_and(ok, is_lim),
+                            idxs - s_loc, limbocap)
+        data = data.at[slot_dst, :9].set(new9, mode="drop")
+        ld = ld.at[lim_dst, :9].set(new9, mode="drop")
+        return (data, pid, ld, lp), jax.lax.psum(overflow, axis)
+
+    (data, pid, limbo_data, limbo_pid), overflow = run(
+        data, pid, limbo_data, limbo_pid, cfg, jnp.asarray(dt, jnp.float32))
+    return (data, pid, limbo_data, limbo_pid, lost), overflow
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "passes", "nsc", "cap", "mcap", "migcap", "axis", "mesh", "interpret",
+    "n", "ocap"))
+def sharded_relayout(carry, cfg: SimConfig, mesh, passes: int = 1,
+                     nsc: int | None = None, cap: int | None = None,
+                     mcap: int | None = None, migcap: int | None = None,
+                     axis: str = AXIS, interpret: bool | None = None,
+                     n: int | None = None, ocap: int | None = None):
+    """Migration-only layout repair: ``passes`` transport passes of the
+    step body with forces+integration skipped (positions/velocities
+    untouched — committing a relayout never changes physics). Each pass
+    ships every out-of-slab row one ring hop toward its target slab
+    (ring-distance routing) and retries placement, so ``d // 2 + 1``
+    passes route anything the mover/outbox bounds allow — used to re-enter
+    the grid path after ``sharded_exact_steps`` windows let rows drift
+    arbitrarily far from their slots.
+
+    Returns ``(carry, (servable_max, unservable, lost))`` computed on the
+    FINAL layout: ``servable_max`` is the max per-device count of rows the
+    overflow sidecar could serve next window (in-slab misaligned slot rows
+    + in-slab limbo rows), ``unservable`` the global count of rows still
+    binning out of their device's slab. The grid path is re-enterable iff
+    ``unservable == 0 and servable_max <= ocap``."""
+    data, pid, limbo_data, limbo_pid, lost_prev = carry
+    d = mesh.shape[axis]
+    limbocap = limbo_pid.shape[0] // d
+    n_hint = pid.shape[0] if n is None else n
+    g = _geometry(cfg, mesh, n_hint, nsc, cap, mcap, migcap, limbocap, axis,
+                  True if interpret is None else interpret, ocap)
+    params_f = pack_params(cfg)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  jax.tree.map(lambda _: P(), cfg)),
+        out_specs=((P(axis), P(axis), P(axis), P(axis), P()),
+                   (P(), P(), P())),
+        check_vma=False,
+    )
+    def run(data, pid, limbo_data, limbo_pid, cfg_in):
+        body = _make_step_body(cfg_in, jnp.float32(0.0), g, axis, params_f,
+                               jnp.int32, jnp.float32, move_only=True)
+        mis0 = _initial_worklist(data, pid, limbo_data, limbo_pid, cfg_in,
+                                 g, axis)
+        carry0 = (data, pid, limbo_data, limbo_pid, mis0,
+                  jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                  jnp.int32(0))
+        (data, pid, limbo_data, limbo_pid, _, _, _, _, lost,
+         _), _ = jax.lax.scan(body, carry0, None, length=passes)
+        # final-layout serveability (the re-entry probe's criterion)
+        me = jax.lax.axis_index(axis)
+        cell_lo = me * g.k_loc
+        cell_of = cell_lo + jnp.arange(g.s_loc, dtype=jnp.int32) // g.cap
+        sid = bin_sid(data[:, _POS], cfg_in, g.nsc)
+        mis_slot = jnp.logical_and(pid >= 0, sid != cell_of)
+        in_slab = jnp.logical_and(sid - cell_lo >= 0,
+                                  sid - cell_lo < g.k_loc)
+        lt = jnp.where(limbo_pid >= 0,
+                       bin_sid(limbo_data[:, _POS], cfg_in, g.nsc)
+                       - cell_lo, -1)
+        l_live = limbo_pid >= 0
+        l_in = jnp.logical_and(lt >= 0, lt < g.k_loc)
+        servable = jnp.sum(jnp.logical_and(mis_slot, in_slab)
+                           .astype(jnp.int32)) \
+            + jnp.sum(jnp.logical_and(l_live, l_in).astype(jnp.int32))
+        unserv = jnp.sum(jnp.logical_and(mis_slot, ~in_slab)
+                         .astype(jnp.int32)) \
+            + jnp.sum(jnp.logical_and(l_live, ~l_in).astype(jnp.int32))
+        return ((data, pid, limbo_data, limbo_pid,
+                 jax.lax.psum(lost, axis)),
+                (jax.lax.pmax(servable, axis), jax.lax.psum(unserv, axis),
+                 jax.lax.psum(lost, axis)))
+
+    (data, pid, limbo_data, limbo_pid, lost), diag = run(
+        data, pid, limbo_data, limbo_pid, cfg)
+    return (data, pid, limbo_data, limbo_pid, lost_prev + lost), diag
+
+
 def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                            n: int, nsc: int | None = None,
                            cap: int | None = None, mcap: int | None = None,
                            window: int = 64, max_cap: int = 512,
                            axis: str = AXIS, verbose=None,
                            on_ladder_end: str = "exact",
-                           state: "ParticleState | None" = None):
+                           state: "ParticleState | None" = None,
+                           ocap: int | None = None):
     """Capacity-adaptive stay-sharded window driver — the slab counterpart
     of ``engine.step.simulate_dense_adaptive``'s escalate-with-rewind rule
     (clustering scenes outgrow any capacity chosen from the uniform init).
@@ -833,28 +1175,34 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     kernel's VMEM budget) — or six consecutive rewinds still leave trouble
     — ``on_ladder_end`` picks the terminal rung:
 
-      * ``"exact"`` (default; needs ``state``): the window is NEVER
-        committed with force-frozen particles. The pre-window carry is
-        gathered to replicated particle order and the window runs on the
-        capacity-free EXACT backend (``engine.step.simulate_culled``; plain
-        all-pairs under interpret mode), preserving the single-chip
+      * ``"exact"`` (default): the window is NEVER committed with
+        force-frozen particles — it is rewound and served STAY-SHARDED on
+        the capacity-free ring all-pairs backend (``sharded_exact_steps``:
+        per-device compacted rows, position blocks circulating the mesh;
+        O(N/D) memory, no all-gather — round 5, replacing the round-4 rung
+        that replicated the state). This preserves the single-chip
         ladder's guarantee — no committed step is ever inexact (reference
         semantics: every particle feels every in-range force every step,
-        src/lib.rs:171-243). After each exact window the driver re-probes
-        the slab path with a fresh ``build_sharded_dense``; a rebuild with
-        zero limbo/lost re-enters sharded mode (scene dispersed). The
-        exact rung REPLICATES the state across the mesh — a deliberate
-        scale cliff, priced only in the regime where every sharded
-        capacity has already failed.
+        src/lib.rs:171-243). After each exact window ``sharded_relayout``
+        repairs the slot layout (pure transport) and the driver re-enters
+        the grid path when every row is back in its slab with overflow
+        within the sidecar budget.
+      * ``"exact_replicated"`` (needs ``state``): the round-4 rung — the
+        pre-window carry is gathered to REPLICATED particle order and the
+        window runs on the single-chip ``engine.step.simulate_culled``
+        backend (Morton-culled, cheaper per step than the ring at small
+        N, at the cost of O(N) memory per device). A small-N convenience;
+        re-probes the slab path with a fresh build after each window.
       * ``"warn"``: commit the masked window with a loud message — masked
         particles are force-frozen for those steps, never wrong or lost
-        (explicit opt-out; also the fallback when ``state`` is absent).
+        (explicit opt-out; also the fallback for ``"exact_replicated"``
+        when ``state`` is absent).
       * ``"raise"``: hard error.
 
-    ``state`` is a particle-order template (its species/masses feed the
-    exact backend's pair features; positions/velocities are overwritten by
-    the gather). Callers using ``init_sharded_dense`` can rebuild one with
-    ``init_scene`` from the same key.
+    ``state`` is a particle-order template for ``"exact_replicated"``
+    (its species/masses feed the exact backend's pair features); the
+    default sharded rung needs none — pair features live in the carry's
+    own U/V columns.
 
     Returns ``(carry, cap, history)``; history lists
     ``(steps, cap, masked)`` per committed window (``cap`` is the string
@@ -870,31 +1218,70 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
     d = mesh.shape[axis]
     if mcap is None:
         mcap = max(512, -(-max(n // (8 * d), 1) // 128) * 128)
+    if ocap is None:
+        from ..ops.celllist_dense import OCAP
+        ocap = OCAP if cfg.overflow_capacity is None else cfg.overflow_capacity
+    if nsc < 3:
+        ocap = 0
     done = 0
     history = []
     ladder_ended = False
-    exact_ok = on_ladder_end == "exact" and state is not None
+    replicated_rung = on_ladder_end == "exact_replicated"
+    exact_ok = (on_ladder_end == "exact"
+                or (replicated_rung and state is not None))
     exact_mode = False
-    live_state = None   # replicated particle-order state while exact_mode
+    live_state = None   # replicated particle-order state (replicated rung)
     culled_cap = None   # worklist capacity learned by exact windows
 
+    def _rcap_for(c):
+        """Per-device compaction capacity for the sharded rung: exact at
+        call time (no migration inside an exact window), bucketed to the
+        next power of two to bound recompiles."""
+        occ = jnp.sum((c[1].reshape(d, -1) >= 0).astype(jnp.int32), axis=1)
+        lim = jnp.sum((c[3].reshape(d, -1) >= 0).astype(jnp.int32), axis=1)
+        mx = int(jnp.max(occ + lim))
+        nl = c[1].shape[0] // d + c[3].shape[0] // d
+        return min(nl, max(256, 1 << (max(mx, 1) - 1).bit_length()))
+
     def run_exact_window(k):
-        nonlocal live_state, culled_cap
-        if _use_interpret():
-            live_state = _simulate(live_state,
-                                   cfg.replace(neighbor="allpairs"), dt, k)
-        else:
-            live_state, stc = simulate_culled(live_state, cfg, dt, k,
-                                              window=min(k, 16),
-                                              verbose=verbose,
-                                              wp_cap=culled_cap)
-            culled_cap = stc["wp_cap"]
+        nonlocal live_state, culled_cap, carry
+        if replicated_rung:
+            if _use_interpret():
+                live_state = _simulate(
+                    live_state, cfg.replace(neighbor="allpairs"), dt, k)
+            else:
+                live_state, stc = simulate_culled(live_state, cfg, dt, k,
+                                                  window=min(k, 16),
+                                                  verbose=verbose,
+                                                  wp_cap=culled_cap)
+                culled_cap = stc["wp_cap"]
+            return
+        rcap = _rcap_for(carry)
+        carry, overflow = sharded_exact_steps(carry, cfg, dt, k, mesh,
+                                              rcap=rcap, axis=axis)
+        # rcap covers every device's live rows by construction
+        assert int(overflow) == 0, int(overflow)
 
     def try_reenter_slab():
-        """Probe the slab path from the live replicated state: a rebuild
-        with zero limbo/lost means every particle fits the current
-        capacity again (scene dispersed) — re-enter sharded mode."""
+        """Probe the slab path. Sharded rung: repair the layout with
+        transport-only relayout passes (multi-hop ring routing), re-enter
+        when every row is back in its slab and overflow fits the sidecar
+        budget. Replicated rung: rebuild from the live replicated state,
+        re-enter on a clean build."""
         nonlocal carry, exact_mode, live_state
+        if not replicated_rung:
+            carry, (servable, unserv, _) = sharded_relayout(
+                carry, cfg.replace(cell_capacity=cap), mesh,
+                passes=d // 2 + 1, nsc=nsc, cap=cap, mcap=mcap, axis=axis,
+                n=n, ocap=ocap)
+            if int(unserv) == 0 and int(servable) <= ocap:
+                exact_mode = False
+                if verbose:
+                    verbose(f"[slab-adaptive] layout repaired (overflow "
+                            f"{int(servable)}/device <= ocap={ocap}) — "
+                            f"re-entering the sharded slab path at "
+                            f"cap={cap}")
+            return
         new_carry = build_sharded_dense(live_state,
                                         cfg.replace(cell_capacity=cap),
                                         mesh, nsc=nsc, cap=cap, mcap=mcap,
@@ -909,25 +1296,40 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                         f"re-entering the sharded slab path")
 
     def enter_exact(prev_carry, why):
-        nonlocal exact_mode, live_state
+        nonlocal exact_mode, live_state, carry
         exact_mode = True
-        live_state = gather_sharded_dense(prev_carry, state, mesh)
+        if replicated_rung:
+            live_state = gather_sharded_dense(prev_carry, state, mesh)
+            if verbose:
+                verbose(f"[slab-adaptive] {why} — rewinding window, serving "
+                        f"exact windows on gathered state (capacity-free "
+                        f"backend; replicated until the scene fits again)")
+            return
+        carry = prev_carry
         if verbose:
             verbose(f"[slab-adaptive] {why} — rewinding window, serving "
-                    f"exact windows on gathered state (capacity-free "
-                    f"backend; replicated until the scene fits again)")
+                    f"exact windows STAY-SHARDED on the ring all-pairs "
+                    f"rung (O(N/D) per device; relayout re-probes the "
+                    f"grid path each window)")
 
-    # an overflowing initial build leaves particles in limbo, where they
-    # would be silently force-frozen for the first step before pass B
-    # drains them — escalate and drain BEFORE stepping so window 1 starts
+    # an overflowing initial build leaves particles in limbo. Up to ocap
+    # per device the sidecar serves them exactly from step 1; only the
+    # EXCESS would be silently force-frozen before pass B drains it —
+    # escalate and drain that excess BEFORE stepping so window 1 starts
     # exact (mx_limbo only sees end-of-step counts, not this)
-    pre_limbo = int(jnp.sum((carry[3] >= 0).astype(jnp.int32)))
-    while pre_limbo > 0:
+    def _pre_unserved(c):
+        per_dev = jnp.sum((c[3].reshape(d, -1) >= 0).astype(jnp.int32),
+                          axis=1)
+        return int(jnp.sum(jnp.maximum(per_dev - ocap, 0)))
+
+    pre_excess = _pre_unserved(carry)
+    while pre_excess > 0:
         new_cap = escalate_cap(nsc, cap, max_cap)
         if new_cap is None:
             ladder_ended = True
-            msg = (f"[slab-adaptive] {pre_limbo} initial-build overflow "
-                   f"particles in limbo with no feasible larger capacity "
+            msg = (f"[slab-adaptive] {pre_excess} initial-build overflow "
+                   f"particles in limbo beyond the sidecar budget "
+                   f"(ocap={ocap}/device) with no feasible larger capacity "
                    f"(cell_grid={nsc}, ladder ended at cap={cap})")
             if on_ladder_end == "raise":
                 raise RuntimeError(msg)
@@ -937,12 +1339,13 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                 verbose(msg)
             break
         if verbose:
-            verbose(f"[slab-adaptive] draining {pre_limbo} initial-build "
-                    f"limbo particles: cap={cap} -> {new_cap}")
+            verbose(f"[slab-adaptive] draining {pre_excess} initial-build "
+                    f"limbo particles beyond the sidecar budget: "
+                    f"cap={cap} -> {new_cap}")
         carry = recap_sharded_dense(carry, cfg, mesh, nsc, cap, new_cap,
                                     axis=axis)
         cap = new_cap
-        pre_limbo = int(jnp.sum((carry[3] >= 0).astype(jnp.int32)))
+        pre_excess = _pre_unserved(carry)
 
     rewinds_here = 0  # consecutive rewinds at the same `done` (loop guard)
     while done < num_steps:
@@ -958,7 +1361,7 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         cfg_k = cfg.replace(cell_capacity=cap)
         carry, diag = sharded_dense_steps(carry, cfg_k, dt, k, mesh,
                                           nsc=nsc, cap=cap, mcap=mcap,
-                                          axis=axis, n=n)
+                                          axis=axis, n=n, ocap=ocap)
         mov, mask, limbo, lost, _ = (int(x) for x in diag)
         trouble = mask + limbo  # both mean force-frozen particles
         if mov > mcap and rewinds_here < 6:
@@ -1011,7 +1414,7 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         done += k
         rewinds_here = 0
         history.append((k, cap, trouble))
-    if exact_mode:
+    if exact_mode and replicated_rung:
         # the trajectory lives in the replicated live_state — materialize
         # it back into a valid stay-sharded carry. The scene may still be
         # denser than cap, so grow the limbo capacity until the rebuild
@@ -1026,6 +1429,13 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                 break
             lc *= 4
         carry = new_carry
+    elif exact_mode:
+        # sharded rung: the carry IS the state — one final transport-only
+        # relayout tidies the slot layout for downstream consumers
+        carry, _ = sharded_relayout(carry, cfg.replace(cell_capacity=cap),
+                                    mesh, passes=d // 2 + 1, nsc=nsc,
+                                    cap=cap, mcap=mcap, axis=axis, n=n,
+                                    ocap=ocap)
     return carry, cap, history
 
 

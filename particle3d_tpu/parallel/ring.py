@@ -57,6 +57,33 @@ def ring_forces(positions, u, v, cfg: SimConfig, axis: str = AXIS):
     return acc
 
 
+def ring_forces_masked(positions, u, v, ok, cfg: SimConfig, axis: str = AXIS):
+    """``ring_forces`` over COMPACTED row buffers: ``ok`` marks live rows,
+    and circulates with the source block so every device masks the other
+    shards' padding. Needed because the particle-life repulsion term is
+    coefficient-independent — zero-V padding would still repel
+    (ops/allpairs._tile_forces). Padding RECEIVERS compute garbage that
+    callers drop at scatter-back. Used by the slab adaptive driver's
+    sharded exact terminal rung (domain_sharded.sharded_exact_steps)."""
+    d = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    okf = ok.astype(positions.dtype)
+
+    def body(i, carry):
+        acc, src_pos, src_v, src_ok = carry
+        nxt_pos = jax.lax.ppermute(src_pos, axis, perm)
+        nxt_v = jax.lax.ppermute(src_v, axis, perm)
+        nxt_ok = jax.lax.ppermute(src_ok, axis, perm)
+        acc = acc + allpairs_forces(positions, u, None, cfg,
+                                    src_positions=src_pos, src_v=src_v,
+                                    src_valid=src_ok > 0.0)
+        return acc, nxt_pos, nxt_v, nxt_ok
+
+    acc0 = jnp.zeros_like(positions)
+    acc, _, _, _ = jax.lax.fori_loop(0, d, body, (acc0, positions, v, okf))
+    return acc
+
+
 def ring_forces_2level(positions, u, v, cfg: SimConfig,
                        ici_axis: str = AXIS, dcn_axis: str = "dcn"):
     """Hierarchical ring for 2-D (hosts x chips) meshes: the source block

@@ -67,23 +67,80 @@ def test_particle_conservation_under_overflow():
     assert float(np.abs(np.asarray(out.positions)).max()) <= 8.0 + 1e-5
 
 
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_slab_sidecar_serves_overflow_exactly(ndev):
+    """ROADMAP item 20 (round 5): at a mean-hugging geometry that
+    overflows cell capacity, the slab sidecar must serve every overflow
+    row EXACTLY — zero unserved diagnostics, trajectory equal to the
+    single-chip dense path (whose own sidecar is round-4-proven exact).
+    This is the scenario whose divergence bench.py's round-4 gates
+    tripped over (rel err 1.22e-03 = ~60 frozen rows)."""
+    st, cfg = _scene(n=1200, seed=5, cell_capacity=4)
+    mesh = make_mesh(ndev)
+    dt = jnp.float32(1 / 30)
+    ref, (_, ms_dense) = simulate_dense(st, cfg, dt, 8)
+    assert int(ms_dense) == 0
+    out, (_, mask_s, limbo_s, lost, _) = sharded_dense_simulate(
+        st, cfg, dt, 8, mesh)
+    assert int(lost) == 0
+    assert int(mask_s) == 0 and int(limbo_s) == 0  # everything served
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.velocities),
+                               np.asarray(ref.velocities),
+                               rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+def test_slab_sidecar_overflow_straddles_boundary(wrap):
+    """Overflow rows crammed into cells ON a slab-boundary plane (and, in
+    the wrap case, ON the global wrap seam): their exact forces need
+    halo-plane sources (term A), cross-slab mis<->mis pairs (term B via
+    the worklist exchange), and reverse forces onto the neighbor's
+    receivers (the neighbor's term C from the exchanged payload). Must
+    match the single-chip dense path bit-tolerantly with zero unserved."""
+    kw = {} if wrap else dict(boundary="clamp", wrap_forces=False)
+    st, cfg = _scene(n=1024, seed=7, cell_capacity=4, **kw)
+    mesh = make_mesh(4)
+    # mesh 4 x grid 8 -> slab boundaries at x in {-8, -4, 0, 4} (planes
+    # 0/2/4/6). Cram two blobs denser than cap=4 right ON boundaries:
+    # one at x=0 (interior slab seam), one at x=-8 (the wrap seam).
+    rng = np.random.default_rng(99)
+    pos = np.asarray(st.positions).copy()
+    for i, center in enumerate(([0.0, 1.0, 1.0], [-7.99, -1.0, 2.0])):
+        dirs = rng.normal(size=(24, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        pos[24 * i:24 * (i + 1)] = np.float32(center) + dirs * 0.9
+    pos = pos.clip(-7.999, 7.999)
+    st = st.replace(positions=jnp.asarray(pos))
+    dt = jnp.float32(1 / 30)
+    ref, (_, ms_dense) = simulate_dense(st, cfg, dt, 8)
+    assert int(ms_dense) == 0
+    out, (_, mask_s, limbo_s, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 8, mesh)
+    assert int(lost) == 0
+    assert int(mask_s) == 0 and int(limbo_s) == 0
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_overflow_policy_divergence_is_visible():
-    """The single-chip dense path serves up-to-ocap capacity-overflow rows
-    EXACTLY via the overflow sidecar (ops/overflow.py, round 4); the slab
-    path has no sidecar — overflow waits frozen in limbo (by design,
-    counted). At an overflowing geometry the two paths therefore diverge,
-    and that divergence must be VISIBLE in the slab diagnostics, never
-    silent (this is what bench.py's kernel-equivalence gates tripped over
-    in round 4 at the retuned (24,32) preset — they now compare at a
-    tail-covering capacity instead). Sharded exactness at overflow
-    geometries is sharded_dense_adaptive's job."""
+    """With the sidecar DISABLED (ocap=0 — the pre-round-5 slab policy),
+    overflow waits frozen in limbo and the trajectory diverges from the
+    sidecar-exact single-chip path; that divergence must be VISIBLE in
+    the slab diagnostics, never silent. (Round 5 made the default-ocap
+    slab path exact at these geometries — see
+    test_slab_sidecar_serves_overflow_exactly — so this now pins the
+    opt-out's loudness.)"""
     st, cfg = _scene(n=1200, seed=5, cell_capacity=4)
     mesh = make_mesh(4)
     dt = jnp.float32(1 / 30)
     _, (_, ms_dense) = simulate_dense(st, cfg, dt, 4)
     assert int(ms_dense) == 0  # sidecar keeps the single-chip path exact
     _, (_, mask_s, limbo_s, lost, _) = sharded_dense_simulate(
-        st, cfg, dt, 4, mesh)
+        st, cfg, dt, 4, mesh, ocap=0)
     assert int(lost) == 0
     assert int(mask_s) + int(limbo_s) > 0  # divergence is diagnosed, loud
 
@@ -203,7 +260,9 @@ def test_sharded_dense_adaptive_escalates_and_matches():
     """Tight initial capacity: the adaptive slab driver escalates with
     rewind (draining initial-build limbo up front), commits only
     trouble-free windows, and matches the single-device dense trajectory
-    at the final capacity."""
+    at the final capacity. ocap=0 pins the ladder machinery itself (with
+    the default sidecar this scene is served exactly at cap=4 and never
+    escalates — test_slab_sidecar_serves_overflow_exactly)."""
     from particle3d_tpu.parallel.domain_sharded import (
         build_sharded_dense, sharded_dense_adaptive, gather_sharded_dense)
 
@@ -213,7 +272,8 @@ def test_sharded_dense_adaptive_escalates_and_matches():
     msgs = []
     carry = build_sharded_dense(st, cfg, mesh)
     carry, cap, hist = sharded_dense_adaptive(
-        carry, cfg, dt, 10, mesh, n=st.n, window=5, verbose=msgs.append)
+        carry, cfg, dt, 10, mesh, n=st.n, window=5, verbose=msgs.append,
+        ocap=0)
     assert cap > 4                         # the ladder actually climbed
     assert all(t == 0 for _, _, t in hist)  # every committed window exact
     assert sum(k for k, _, _ in hist) == 10
@@ -350,6 +410,61 @@ def _blob_scene(n=768, crowd=60, seed=11, speed=0.0, **repl):
     return st, cfg
 
 
+def test_sharded_exact_steps_matches_allpairs_then_relayout_reenters():
+    """The de-replicated exact rung (round 5): a compacted ring all-pairs
+    window on the stay-sharded carry must match the brute-force ground
+    truth; relayout passes then repair the drifted layout (pure transport)
+    so the grid path continues bit-tolerantly."""
+    from particle3d_tpu import simulate
+    from particle3d_tpu.parallel.domain_sharded import (
+        build_sharded_dense, sharded_exact_steps, sharded_relayout,
+        sharded_dense_steps, gather_sharded_dense)
+
+    st, cfg = _scene(n=512, seed=2)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    carry = build_sharded_dense(st, cfg, mesh)
+    carry, ovf = sharded_exact_steps(carry, cfg, dt, 6, mesh, rcap=512)
+    assert int(ovf) == 0
+    out = gather_sharded_dense(carry, st, mesh)
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 6)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+    # transport-only relayout: positions/velocities must be UNTOUCHED
+    pos_before = np.asarray(gather_sharded_dense(carry, st, mesh).positions)
+    carry, (serv, unserv, lost) = sharded_relayout(carry, cfg, mesh,
+                                                   passes=3, n=st.n)
+    assert int(unserv) == 0 and int(lost) == 0
+    after = gather_sharded_dense(carry, st, mesh)
+    np.testing.assert_array_equal(np.asarray(after.positions), pos_before)
+    # the repaired carry continues on the grid path, still exact
+    carry, diag = sharded_dense_steps(carry, cfg, dt, 4, mesh, n=st.n)
+    assert int(diag[1]) == 0 and int(diag[2]) == 0 and int(diag[3]) == 0
+    out2 = gather_sharded_dense(carry, st, mesh)
+    ref2 = simulate(st, cfg.replace(neighbor="allpairs"), dt, 10)
+    np.testing.assert_allclose(np.asarray(out2.positions),
+                               np.asarray(ref2.positions),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_exact_rung_is_onl_over_d():
+    """VERDICT r4 item 2's done bar: the exact rung's program must be
+    O(N/D) — ring ppermutes, NO all_gather of state anywhere in the
+    jaxpr (the round-4 rung gathered the full state to every device)."""
+    from particle3d_tpu.parallel.domain_sharded import (
+        build_sharded_dense, sharded_exact_steps)
+
+    st, cfg = _scene()
+    mesh = make_mesh(8)
+    carry = build_sharded_dense(st, cfg, mesh)
+    jaxpr = str(jax.make_jaxpr(
+        lambda c: sharded_exact_steps(c, cfg, jnp.float32(1 / 30), 2,
+                                      mesh, rcap=256))(carry))
+    assert "ppermute" in jaxpr
+    assert "all_gather" not in jaxpr
+
+
 def test_sharded_ladder_end_exact_terminal_rung():
     """VERDICT r3 item 2: a blob denser than every feasible capacity must
     NOT commit force-frozen windows — the default terminal rung gathers and
@@ -366,7 +481,7 @@ def test_sharded_ladder_end_exact_terminal_rung():
     carry = build_sharded_dense(st, cfg, mesh)
     carry, cap, hist = sharded_dense_adaptive(
         carry, cfg, dt, 12, mesh, n=st.n, window=4, max_cap=8,
-        state=st, verbose=msgs.append)
+        state=st, verbose=msgs.append, ocap=0)
     assert all(t == 0 for _, _, t in hist)      # nothing committed inexact
     assert any(c == "exact" for _, c, _ in hist)  # the rung actually fired
     assert sum(k for k, _, _ in hist) == 12
@@ -396,7 +511,7 @@ def test_sharded_exact_rung_reenters_slab_after_dispersal():
     carry = build_sharded_dense(st, cfg, mesh)
     carry, cap, hist = sharded_dense_adaptive(
         carry, cfg, dt, 24, mesh, n=st.n, window=4, max_cap=8,
-        state=st, verbose=msgs.append)
+        state=st, verbose=msgs.append, ocap=0)
     assert all(t == 0 for _, _, t in hist)
     assert hist[0][1] == "exact"                # started on the rung
     assert any(c != "exact" for _, c, _ in hist), \
