@@ -15,6 +15,7 @@ fix; if C ~ B, the cliff lives elsewhere in the walled body.
 
 Run ON THE CHIP from repo root: python examples/repro_walled_compile.py
 """
+import argparse
 import functools
 import sys
 import time
@@ -30,18 +31,23 @@ from particle3d_tpu.ops.pallas_allpairs import PAIR_P, pack_params
 from particle3d_tpu.ops import pallas_celllist as PC
 
 # 262k walled-slab per-device geometry (bench.py's slab_walls gate on a
-# 1-device mesh): planes = nsc = 24, cap 32
+# 1-device mesh): planes = nsc = 24, cap 32. Overridable (--cap) because
+# operand-shape salting does NOT bust the axon service's cache — it keys
+# on the MOSAIC KERNEL (body + block shapes), which pad_rows leaves
+# untouched; a fresh-compile measurement needs a never-compiled (nsc,
+# cap) so the kernel hash itself is new (round-5 finding).
 NSC = 24
 PLANES = 24
 CAP = 32
 
 
-def build_call(select_free: bool, wrap: bool, pad_rows: int = 1):
+def build_call(select_free: bool, wrap: bool, pad_rows: int = 1,
+               cap: int = CAP):
     ncol = PLANES * NSC
-    cs = NSC * CAP
-    g = (NSC + 2) * CAP
-    zr = PC._pick_zr(NSC, CAP, require_aligned=True)
-    zr2 = PC._pick_zr2(zr, CAP)
+    cs = NSC * cap
+    g = (NSC + 2) * cap
+    zr = PC._pick_zr(NSC, cap, require_aligned=True)
+    zr2 = PC._pick_zr2(zr, cap)
     dummy_col = (PLANES + 2) * NSC  # one past the real source columns
 
     def rec_map(c):
@@ -89,7 +95,7 @@ def build_call(select_free: bool, wrap: bool, pad_rows: int = 1):
         return pl.pallas_call(
             functools.partial(
                 PC._kernel, law="particle_life", wrap=wrap, halo=True,
-                nsc=NSC, cap=CAP, zr=zr, zr2=zr2, use_rsqrt=True),
+                nsc=NSC, cap=cap, zr=zr, zr2=zr2, use_rsqrt=True),
             grid=(ncol,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 3, cs), rec_map,
@@ -114,13 +120,24 @@ def build_call(select_free: bool, wrap: bool, pad_rows: int = 1):
 
 
 def main():
-    # fresh Mosaic compiles: no persistent cache
+    # Fresh Mosaic compiles: no persistent cache — AND a never-compiled
+    # geometry. Round-5 finding: operand-shape salting (runtime-random
+    # pad_rows) still measured ~2 s "compiles" for all three arms — the
+    # axon service's cache keys on the MOSAIC KERNEL (body constants +
+    # block shapes), which pad_rows leaves untouched. Only a new (nsc,
+    # cap) produces a new kernel hash; pass --cap with a capacity no
+    # bench/probe has ever used (zr*cap % 128 == 0 with zr | 24).
+    p = argparse.ArgumentParser()
+    p.add_argument("--cap", type=int, default=CAP)
+    a = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", None)
+    base = 7 + int(time.time()) % 4000
+    print(f"[salt] pad_rows base {base}, cap {a.cap}", flush=True)
     for name, select_free, wrap, pad in (
-            ("A periodic          ", False, True, 3),
-            ("B walled where-maps ", False, False, 4),
-            ("C walled select-free", True, False, 5)):
-        fwd, args = build_call(select_free, wrap, pad_rows=pad)
+            ("A periodic          ", False, True, base),
+            ("B walled where-maps ", False, False, base + 1),
+            ("C walled select-free", True, False, base + 2)):
+        fwd, args = build_call(select_free, wrap, pad_rows=pad, cap=a.cap)
         t0 = time.perf_counter()
         lowered = jax.jit(fwd).lower(*args).compile()
         dt_c = time.perf_counter() - t0

@@ -411,61 +411,112 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         r2 = jnp.where(aligned, r2v, -1.0)
 
         # -- integrate ---------------------------------------------------
-        def accel_fn(positions, st, c):
-            f, ext = halo_forces(positions[:s_loc], data, r2)
-            f = f * (r2 > 0.0)[:, None]
-            if ocap:
-                # overflow sidecar (module docstring): exact forces for the
-                # worklist rows + their reverse forces onto local aligned
-                # receivers. Worklist payloads (pos fresh from `positions`,
-                # U/V layout-constant) are exchanged with the ring
-                # neighbors so cross-slab pairs are served on BOTH sides —
-                # each device computes forces onto its own receivers from
-                # the combined set (no reverse force exchange needed).
-                # Straight-line at full ocap width by design: dead entries
-                # contribute exact zeros (see engine.step._sidecar_apply
-                # for the measured cond-vs-straight-line motivation).
-                from ..ops.overflow import slab_neighborhood_sweeps
+        def sidecar_terms(pos_slot, ext, c):
+            """Overflow-sidecar forces (module docstring): exact forces ON
+            the worklist rows (terms A+B, local prefix only) and their
+            reverse forces onto local aligned receivers (term C).
+            Worklist payloads (slot positions from ``pos_slot``, limbo
+            positions/U/V from the carried rows) are exchanged with the
+            ring neighbors so cross-slab pairs are served on BOTH sides —
+            each device computes forces onto its own receivers from the
+            combined set (no reverse force exchange needed). Straight-line
+            at full ocap width by design: dead entries contribute exact
+            zeros (see engine.step._sidecar_apply for the measured
+            cond-vs-straight-line motivation).
 
-                msafe = jnp.minimum(mis, sent - 1)
-                mval = mis < sent
-                is_lim = msafe >= s_loc
-                rows = jnp.where(
-                    is_lim[:, None],
-                    limbo_data[jnp.clip(msafe - s_loc, 0, limbocap - 1)],
-                    data[jnp.minimum(msafe, s_loc - 1)])
-                pay = jnp.concatenate(
-                    [positions[msafe], rows[:, _U], rows[:, _V],
-                     mval[:, None].astype(jnp.float32)], axis=1)
-                if d == 1:
-                    comb = pay
-                elif d == 2:
-                    # fwd and bwd reach the SAME neighbor — ship once
-                    comb = jnp.concatenate(
-                        [pay, jax.lax.ppermute(pay, axis, perm_fwd)], axis=0)
-                else:
-                    comb = jnp.concatenate(
-                        [pay, jax.lax.ppermute(pay, axis, perm_fwd),
-                         jax.lax.ppermute(pay, axis, perm_bwd)], axis=0)
-                f_mis, f_from = slab_neighborhood_sweeps(
-                    ext, data[:, _U], comb[:, :3],
-                    comb[:, 3:3 + PAIR_P], comb[:, 3 + PAIR_P:3 + 2 * PAIR_P],
-                    comb[:, -1] > 0.0, c, nsc, g.planes_local, cap, me)
-                f = jnp.concatenate(
-                    [f + f_from, jnp.zeros((limbocap, 3), f.dtype)], axis=0)
-                # term A+B are only complete for the LOCAL prefix (neighbor
-                # rows see partial windows here; their owner serves them)
-                f = f.at[mis].add(f_mis[:ocap], mode="drop")
-            return f * FF.kick_scale(c)
+            Returns (f_mis [ocap, 3], f_from [s_loc, 3], slot_dst,
+            lim_dst) — scatter destinations with drop sentinels split by
+            worklist half."""
+            from ..ops.overflow import slab_neighborhood_sweeps
+
+            msafe = jnp.minimum(mis, sent - 1)
+            mval = mis < sent
+            is_lim = msafe >= s_loc
+            li = jnp.clip(msafe - s_loc, 0, limbocap - 1)
+            si = jnp.minimum(msafe, s_loc - 1)
+            rows = jnp.where(is_lim[:, None], limbo_data[li], data[si])
+            mpos = jnp.where(is_lim[:, None], rows[:, _POS], pos_slot[si])
+            pay = jnp.concatenate(
+                [mpos, rows[:, _U], rows[:, _V],
+                 mval[:, None].astype(jnp.float32)], axis=1)
+            if d == 1:
+                comb = pay
+            elif d == 2:
+                # fwd and bwd reach the SAME neighbor — ship once
+                comb = jnp.concatenate(
+                    [pay, jax.lax.ppermute(pay, axis, perm_fwd)], axis=0)
+            else:
+                comb = jnp.concatenate(
+                    [pay, jax.lax.ppermute(pay, axis, perm_fwd),
+                     jax.lax.ppermute(pay, axis, perm_bwd)], axis=0)
+            f_mis, f_from = slab_neighborhood_sweeps(
+                ext, data[:, _U], comb[:, :3],
+                comb[:, 3:3 + PAIR_P], comb[:, 3 + PAIR_P:3 + 2 * PAIR_P],
+                comb[:, -1] > 0.0, c, nsc, g.planes_local, cap, me)
+            # terms A+B are only complete for the LOCAL prefix (neighbor
+            # rows see partial windows here; their owner serves them)
+            slot_dst = jnp.where(jnp.logical_and(mval, ~is_lim), msafe,
+                                 s_loc)
+            lim_dst = jnp.where(jnp.logical_and(mval, is_lim),
+                                msafe - s_loc, limbocap)
+            return f_mis[:ocap], f_from, slot_dst, lim_dst
 
         if move_only:
             pass  # transport only: positions/velocities untouched
+        elif ocap and cfg_in.integrator == "euler":
+            # Euler evaluates forces exactly once, at the pre-step state —
+            # so compute the kernel + sidecar terms ONCE here and feed
+            # them to two precomputed-accel integrations: the slot rows
+            # and a SEPARATE small limbo step. The earlier variant
+            # concatenated limbo rows onto the full slot arrays so one
+            # _step covered both — measured ~17 ms/step of fixed O(slots)
+            # concat/split traffic at the 2M point (probe_r5_slab2m).
+            # Served limbo rows get their exact sidecar forces; unserved
+            # ones integrate ballistically (zero pair force, never wrong);
+            # dead limbo rows integrate garbage the move phase's limbo
+            # rebuild discards below.
+            fk, ext = halo_forces(data[:, _POS], data, r2)
+            f_mis, f_from, slot_dst, lim_dst = sidecar_terms(
+                data[:, _POS], ext, cfg_in)
+            f_slot = (fk * (r2 > 0.0)[:, None] + f_from).at[slot_dst].add(
+                f_mis, mode="drop") * FF.kick_scale(cfg_in)
+            f_lim = jnp.zeros((limbocap, 3), jnp.float32).at[lim_dst].add(
+                f_mis, mode="drop") * FF.kick_scale(cfg_in)
+            ps = ParticleState(
+                positions=data[:, _POS], velocities=data[:, _VEL],
+                species=dummy_species[:s_loc], masses=dummy_masses[:s_loc],
+                accel=data[:, _ACC])
+            ps = _step(ps, cfg_in, dt_in, accel_fn=lambda p, s, c: f_slot)
+            data = jnp.concatenate(
+                [ps.positions, ps.velocities, ps.accel, data[:, 9:]], axis=1)
+            pl_ = ParticleState(
+                positions=limbo_data[:, _POS],
+                velocities=limbo_data[:, _VEL],
+                species=dummy_species[:limbocap],
+                masses=dummy_masses[:limbocap],
+                accel=limbo_data[:, _ACC])
+            pl_ = _step(pl_, cfg_in, dt_in, accel_fn=lambda p, s, c: f_lim)
+            limbo_data = jnp.concatenate(
+                [pl_.positions, pl_.velocities, pl_.accel,
+                 limbo_data[:, 9:]], axis=1)
         elif ocap:
-            # limbo rows integrate too: worklist-served ones with their
-            # exact sidecar forces, unserved ones ballistically (the same
-            # degradation as unserved misaligned slot rows — zero pair
-            # force, never wrong). Dead limbo rows integrate garbage that
-            # the move phase's limbo rebuild discards every step.
+            # non-Euler integrators re-evaluate forces at mid-step
+            # positions, so the sidecar runs inside accel_fn on the
+            # CONCATENATED slot+limbo state (slot worklist positions
+            # fresh; the O(S) concat cost is the price of mid-step
+            # freshness — Euler, the reference integrator, takes the fast
+            # path above)
+            def accel_fn(positions, st, c):
+                f, ext = halo_forces(positions[:s_loc], data, r2)
+                f = f * (r2 > 0.0)[:, None]
+                f_mis, f_from, slot_dst, lim_dst = sidecar_terms(
+                    positions[:s_loc], ext, c)
+                f = jnp.concatenate(
+                    [(f + f_from).at[slot_dst].add(f_mis, mode="drop"),
+                     jnp.zeros((limbocap, 3), f.dtype).at[lim_dst].add(
+                         f_mis, mode="drop")], axis=0)
+                return f * FF.kick_scale(c)
+
             ps = ParticleState(
                 positions=jnp.concatenate(
                     [data[:, _POS], limbo_data[:, _POS]], axis=0),
@@ -482,6 +533,10 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                 [ps.positions[s_loc:], ps.velocities[s_loc:],
                  ps.accel[s_loc:], limbo_data[:, 9:]], axis=1)
         else:
+            def accel_fn(positions, st, c):
+                f, _ = halo_forces(positions, data, r2)
+                return f * (FF.kick_scale(c) * (r2 > 0.0)[:, None])
+
             ps = ParticleState(
                 positions=data[:, _POS], velocities=data[:, _VEL],
                 species=dummy_species, masses=dummy_masses,
