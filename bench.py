@@ -448,22 +448,31 @@ def main():
             from particle3d_tpu import SimConfig
 
             n2m = 2_097_152
-            # measured geometry sweep (docs/PERF.md "Slab carry at 2M"):
-            # coarse 44^3 grid (cell width 1.45) + cap 64 masks ZERO
-            # particles (64^3/16 masked 38k by step 20), and a mover cap
-            # sized ~2.8x the observed 46k movers/step beats the n/8
-            # default by 25% (mover-sized ops are the rebind cost driver)
-            nsc2, cap2, mcap2 = 44, 64, 131072
+            # measured geometry sweep (docs/PERF.md "Slab carry at 2M" +
+            # round 5 "The 2M slab retune"): coarse 44^3 grid (cell width
+            # 1.45) + cap 64 covers the tail through step 20 — the
+            # mean-hugging (48,40)+sidecar alternative measured exact but
+            # SLOWER (5.74 vs 6.3 steps/s), so the tail-covering geometry
+            # stays and the sidecar is off here (ocap=0: the trouble
+            # assert below then genuinely means zero overflow existed).
+            # Static-bound right-sizing (round 5): mcap = 2.25x the
+            # observed ~51k movers/step (the half rung at 57k carries
+            # them), and migcap = 4096 on a 1-device mesh (there are NO
+            # slab crossers; the old mcap/2 default dragged 131k dead
+            # inbox rows through pass B's sorts/gathers every step —
+            # measured 196 -> 158 ms/step, probe_r5_slab2m).
+            nsc2, cap2, mcap2, migcap2 = 44, 64, 114688, 4096
             cfg2m = SimConfig(world_size=64.0,
                               neighbor="celllist_pallas", cell_grid=nsc2,
                               cell_capacity=cap2).validate()
             mesh1 = make_mesh(1)
             carry = init_sharded_dense(jax.random.PRNGKey(5), n2m, cfg2m,
-                                       mesh1, nsc=nsc2, cap=cap2)
+                                       mesh1, nsc=nsc2, cap=cap2,
+                                       migcap=migcap2)
             hbm = sum(int(a.nbytes) for a in jax.tree.leaves(carry))
             carry, _ = sharded_dense_steps(   # compile + warm — SAME
                 carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2,
-                mcap=mcap2, n=n2m)
+                mcap=mcap2, migcap=migcap2, n=n2m, ocap=0)
             # num_steps as the timed call: a different step count is a
             # different program, and its Mosaic compile (minutes over the
             # remote tunnel) would land inside the timed region
@@ -471,7 +480,7 @@ def main():
             t0 = time.perf_counter()
             carry, (mov2, mask2, limbo2, lost2, _) = sharded_dense_steps(
                 carry, cfg2m, dt, 10, mesh1, nsc=nsc2, cap=cap2,
-                mcap=mcap2, n=n2m)
+                mcap=mcap2, migcap=migcap2, n=n2m, ocap=0)
             float(jnp.sum(carry[0][:, 0]))
             sec2m = (time.perf_counter() - t0) / 10
             dev_stats = jax.devices()[0].memory_stats() or {}

@@ -214,6 +214,37 @@ def test_fastpath_burst_takes_full_branch():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_multihop_migration_routes_fast_movers():
+    """Ring-distance outbox routing (round 5): a particle hopping 2+ slabs
+    in one step previously matched neither outbox direction and froze in
+    its stale slot forever; now it ships one ring hop per step (through
+    intermediate devices' limbo) toward the shorter direction and lands.
+    Zero attraction matrix -> every particle is ballistic, so the slab
+    trajectory must EQUAL the single-chip dense one (transport is pure
+    bookkeeping), with the transit visible in the diagnostics and nothing
+    lost."""
+    zeros = np.zeros((5, 5), np.float32)
+    st, cfg = _scene(n=512, seed=31, attraction_matrix=zeros,
+                     coefficient=25.0)
+    dt = jnp.float32(1 / 30)
+    vel = np.zeros((512, 3), np.float32)
+    vel[0, 0] = 900.0   # after drag: dx = +5 on step 1 (2-3 slabs at
+    # width 2), +0.83 on step 2, ~0 after — one giant hop, then settle
+    st = st.replace(velocities=jnp.asarray(vel))
+    mesh = make_mesh(8)
+    out, (mx_mov, mx_mask, mx_limbo, lost, shipped) = sharded_dense_simulate(
+        st, cfg, dt, 8, mesh)
+    assert int(lost) == 0
+    assert int(shipped) >= 2            # the hop actually multi-shipped
+    ref, _ = simulate_dense(st, cfg, dt, 8)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.velocities),
+                               np.asarray(ref.velocities),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_rejects_indivisible_grid():
     st, cfg = _scene()
     mesh = make_mesh(4)
