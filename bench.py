@@ -225,7 +225,12 @@ def main():
             from particle3d_tpu.engine.step import simulate_dense_adaptive
             import numpy as np
 
-            n_rp = 32768
+            # mean occupancy must sit FAR below max_cap or the probe can
+            # never succeed: the first run used N=32k on this grid (mean
+            # 8/cell) with max_cap 16, and the background's own Poisson
+            # tail kept masking every re-probe — N=16k (mean 4) with
+            # max_cap 32 leaves the background orders of magnitude clear
+            n_rp = 16384
             cfg_rp = SimConfig(
                 world_size=16.0, neighbor="celllist_pallas", cell_grid=16,
                 cell_capacity=8,
@@ -243,7 +248,7 @@ def main():
                                   velocities=jnp.asarray(vel_rp))
             t0 = time.perf_counter()
             _, _, hist_rp = simulate_dense_adaptive(
-                st_rp, cfg_rp, 1.0 / 30.0, 48, chunk=4, max_cap=16, ocap=0)
+                st_rp, cfg_rp, 1.0 / 30.0, 48, chunk=4, max_cap=32, ocap=0)
             wall_rp = time.perf_counter() - t0
             backends = [c for _, c, _ in hist_rp]
             assert all(m == 0 for _, _, m in hist_rp), (

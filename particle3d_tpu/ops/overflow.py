@@ -197,7 +197,10 @@ def neighborhood_sweeps(positions, u_all, v_all, src_ok, mpos, mu, mv, mvalid,
     # granularity — m*27 indices each carrying a contiguous [cap, 3] block —
     # not row granularity: the [m*27*cap]-index row scatter measured 17.8 ms
     # at (m=512, cap=32) where this block form is ~1 ms (docs/PERF.md round
-    # 4); XLA lowers scatter cost by index count, not element count.
+    # 4); XLA lowers scatter cost by index count, not element count. (A
+    # [cap*3]-flattened block variant was measured identical in-step at the
+    # 2M slab point — the sidecar's fixed enable cost is not this scatter's
+    # minor-dim padding; probe_r5_slab2m round 5.)
     # Receivers are gated to ALIGNED rows here (okj — empty/misplaced slots
     # in the gathered windows must not receive; misplaced receivers get
     # their complete force from the two terms above).
@@ -241,7 +244,7 @@ def neighborhood_apply(f, positions, u_all, v_all, src_ok, mis, cfg: SimConfig,
 
 def slab_neighborhood_sweeps(ext, u_all, mpos, mu, mv, mvalid,
                              cfg: SimConfig, nsc: int, planes_local: int,
-                             cap: int, me):
+                             cap: int, me, self_ring: bool = False):
     """Slab-decomposition sidecar sweeps (the multi-chip port of
     ``neighborhood_sweeps`` — ROADMAP item 20): called per device inside
     ``shard_map``, with sources read from the HALO-EXTENDED plane pack the
@@ -283,7 +286,14 @@ def slab_neighborhood_sweeps(ext, u_all, mpos, mu, mv, mvalid,
         scattered onto LOCAL receiver cells only (window cells in halo
         planes are dropped — the neighbor computes those onto its own
         receivers from this device's exchanged payload). Receivers gated
-        aligned via the window's r2 channel.
+        aligned via the window's r2 channel. ``self_ring`` (1-device
+        meshes, periodic): the "neighbor" is this device itself and no
+        payload is exchanged, so halo-plane window cells are REMAPPED to
+        their wrapped local planes instead of dropped — without it the
+        wrap-seam reverse forces are silently lost (caught by bench's
+        compiled-mode slab gate at the (24,32) production geometry,
+        rel err 1.95e-04; the 2/4/8-device CPU tests never exercised
+        d==1).
 
     Row positions must bin within (or, for neighbor rows, near) the
     device's slab: local worklists are constructed in-slab (see
@@ -381,11 +391,19 @@ def slab_neighborhood_sweeps(ext, u_all, mpos, mu, mv, mvalid,
     f_mis = f_mis + jnp.einsum("ijc,ij->ic", dmm, smm)
 
     # term C: LOCAL aligned receivers <- mis (halo window cells dropped —
-    # owned by the neighbor). Receiver U gathered from the local slot
-    # arrays through the local-cell remap of the same window coordinates.
-    loc_ok = jnp.logical_and(
-        jnp.logical_and(pxw >= 1, pxw <= planes_local), ok_yz)  # [m, 27]
-    cell_loc = ((pxw_c - 1) * nsc + cyw) * nsc + czw
+    # owned by the neighbor — EXCEPT on a self-ring, where they wrap onto
+    # local planes; see docstring). Receiver U gathered from the local
+    # slot arrays through the local-cell remap of the same window
+    # coordinates. A window never hits the same local plane twice: its 3
+    # x-planes are consecutive, and nsc >= 3 keeps them distinct mod nsc.
+    if self_ring and wrap:
+        lx = jnp.remainder(pxw - 1, planes_local)
+        loc_ok = ok_yz
+    else:
+        lx = pxw_c - 1
+        loc_ok = jnp.logical_and(
+            jnp.logical_and(pxw >= 1, pxw <= planes_local), ok_yz)  # [m, 27]
+    cell_loc = (lx * nsc + cyw) * nsc + czw
     uj = u_all.reshape(k_loc, cap, p)[
         jnp.clip(cell_loc, 0, k_loc - 1)].reshape(m, k, p)
     loc_ok_k = jnp.broadcast_to(loc_ok[:, :, None],

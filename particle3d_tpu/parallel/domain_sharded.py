@@ -452,7 +452,8 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             f_mis, f_from = slab_neighborhood_sweeps(
                 ext, data[:, _U], comb[:, :3],
                 comb[:, 3:3 + PAIR_P], comb[:, 3 + PAIR_P:3 + 2 * PAIR_P],
-                comb[:, -1] > 0.0, c, nsc, g.planes_local, cap, me)
+                comb[:, -1] > 0.0, c, nsc, g.planes_local, cap, me,
+                self_ring=(d == 1))
             # terms A+B are only complete for the LOCAL prefix (neighbor
             # rows see partial windows here; their owner serves them)
             slot_dst = jnp.where(jnp.logical_and(mval, ~is_lim), msafe,

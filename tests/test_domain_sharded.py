@@ -67,14 +67,17 @@ def test_particle_conservation_under_overflow():
     assert float(np.abs(np.asarray(out.positions)).max()) <= 8.0 + 1e-5
 
 
-@pytest.mark.parametrize("ndev", [2, 4, 8])
+@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
 def test_slab_sidecar_serves_overflow_exactly(ndev):
     """ROADMAP item 20 (round 5): at a mean-hugging geometry that
     overflows cell capacity, the slab sidecar must serve every overflow
     row EXACTLY — zero unserved diagnostics, trajectory equal to the
     single-chip dense path (whose own sidecar is round-4-proven exact).
     This is the scenario whose divergence bench.py's round-4 gates
-    tripped over (rel err 1.22e-03 = ~60 frozen rows)."""
+    tripped over (rel err 1.22e-03 = ~60 frozen rows). ndev=1 pins the
+    self-ring term-C wrap (no payload exchange — halo window cells remap
+    onto local planes; missing this lost wrap-seam reverse forces,
+    caught by bench's compiled gate at (24,32), rel err 1.95e-04)."""
     st, cfg = _scene(n=1200, seed=5, cell_capacity=4)
     mesh = make_mesh(ndev)
     dt = jnp.float32(1 / 30)
@@ -92,17 +95,18 @@ def test_slab_sidecar_serves_overflow_exactly(ndev):
                                rtol=1e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("wrap", [True, False])
-def test_slab_sidecar_overflow_straddles_boundary(wrap):
+@pytest.mark.parametrize("wrap,ndev", [(True, 4), (False, 4), (True, 1)])
+def test_slab_sidecar_overflow_straddles_boundary(wrap, ndev):
     """Overflow rows crammed into cells ON a slab-boundary plane (and, in
     the wrap case, ON the global wrap seam): their exact forces need
     halo-plane sources (term A), cross-slab mis<->mis pairs (term B via
     the worklist exchange), and reverse forces onto the neighbor's
-    receivers (the neighbor's term C from the exchanged payload). Must
-    match the single-chip dense path bit-tolerantly with zero unserved."""
+    receivers (the neighbor's term C from the exchanged payload; at
+    ndev=1 the self-ring wrap remap instead). Must match the single-chip
+    dense path bit-tolerantly with zero unserved."""
     kw = {} if wrap else dict(boundary="clamp", wrap_forces=False)
     st, cfg = _scene(n=1024, seed=7, cell_capacity=4, **kw)
-    mesh = make_mesh(4)
+    mesh = make_mesh(ndev)
     # mesh 4 x grid 8 -> slab boundaries at x in {-8, -4, 0, 4} (planes
     # 0/2/4/6). Cram two blobs denser than cap=4 right ON boundaries:
     # one at x=0 (interior slab seam), one at x=-8 (the wrap seam).
