@@ -440,6 +440,37 @@ def main():
                   f"2 steps): rel err vs all-pairs {rel_ring:.2e}",
                   file=sys.stderr)
             extra["ring_vs_allpairs_rel_err"] = rel_ring
+
+            # sharded EXACT terminal rung compiled on-chip (round 5): the
+            # compacted masked-ring window (sharded_exact_steps — the
+            # de-replicated ladder end) must reproduce plain all-pairs.
+            # Same interpret-mode blind-spot class as the other gates;
+            # the 8-device CPU dryrun/tests cover the mesh behavior, this
+            # covers the compiled program.
+            from particle3d_tpu.parallel.domain_sharded import (
+                build_sharded_dense, sharded_exact_steps,
+                gather_sharded_dense)
+
+            carry_x = build_sharded_dense(stc, cfgc, mesh1)
+            carry_x, ovf_x = sharded_exact_steps(carry_x, cfgc, dt, 2,
+                                                 mesh1, rcap=n)
+            assert int(ovf_x) == 0
+            out_x = gather_sharded_dense(carry_x, stc, mesh1)
+            ref_x = simulate(stc, cfgc.replace(neighbor="allpairs_pallas"),
+                             dt, 2)
+            scx = max(1.0, float(np.max(np.abs(np.asarray(
+                ref_x.positions)))))
+            rel_x = float(np.max(np.abs(
+                np.asarray(out_x.positions)
+                - np.asarray(ref_x.positions)))) / scx
+            assert rel_x < 5e-5, (
+                f"compiled-mode mismatch: sharded exact rung vs all-pairs "
+                f"rel err {rel_x:.2e}")
+            print(f"[bench] sharded exact terminal rung compiled on-chip "
+                  f"(1-dev mesh, N={n}, 2 steps, compacted masked ring): "
+                  f"rel err vs all-pairs {rel_x:.2e}, overflow 0",
+                  file=sys.stderr)
+            extra["sharded_exact_rung_vs_allpairs_rel_err"] = rel_x
         except Exception as e:
             print(f"[bench] sharded compiled gates failed: {e}",
                   file=sys.stderr)
