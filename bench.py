@@ -156,6 +156,17 @@ def main():
             from particle3d_tpu.engine.step import (
                 simulate_dense_adaptive, simulate_culled)
 
+            # warmed-second-rep protocol (probe_r5_ladder_econ): the first
+            # run compiles whatever escalation rungs the service cache is
+            # missing — observed 54.9 s cold vs ~10 s warm for the SAME
+            # committed windows — so the recorded key is the second,
+            # compile-free rep; the cold wall goes to stderr only.
+            t0 = time.perf_counter()
+            _, cap1m, hist1m = simulate_dense_adaptive(
+                st1, cfg1, dt, 48, chunk=16)
+            cold1m = time.perf_counter() - t0
+            assert all(m == 0 for _, _, m in hist1m), (
+                f"1M ladder committed an inexact window: {hist1m}")
             t0 = time.perf_counter()
             _, cap1m, hist1m = simulate_dense_adaptive(
                 st1, cfg1, dt, 48, chunk=16)
@@ -164,7 +175,8 @@ def main():
                 f"1M ladder committed an inexact window: {hist1m}")
             print(f"[bench] 1M adaptive ladder (48 steps from init, chunk "
                   f"16, crosses the exactness horizon): {wall1m:.1f} s "
-                  f"wall, end cap {cap1m}, windows "
+                  f"wall warm ({cold1m:.1f} s incl. one-time escalation "
+                  f"compiles), end cap {cap1m}, windows "
                   f"{[c for _, c, _ in hist1m]}, every committed window "
                   f"exact", file=sys.stderr)
             extra["ladder_1m_48steps_wall_s"] = wall1m
@@ -193,6 +205,13 @@ def main():
         try:
             from particle3d_tpu.engine.step import simulate_dense_adaptive
 
+            # warmed-second-rep (see the 1M ladder above): round 4 recorded
+            # 6.12 s here with a lucky-warm service cache; a cold cache
+            # inflates the same run to 17.2 s of compile time
+            _, cap_end, hist = simulate_dense_adaptive(
+                stc, cfgc, dt, 64, chunk=16)
+            assert all(m == 0 for _, _, m in hist), (
+                f"adaptive ladder committed an inexact window: {hist}")
             t0 = time.perf_counter()
             _, cap_end, hist = simulate_dense_adaptive(
                 stc, cfgc, dt, 64, chunk=16)
@@ -201,7 +220,7 @@ def main():
                 f"adaptive ladder committed an inexact window: {hist}")
             backends = [c for _, c, _ in hist]
             print(f"[bench] adaptive ladder (N=262k, 64 steps, chunk 16): "
-                  f"{wall:.1f} s wall, end cap {cap_end}, windows "
+                  f"{wall:.1f} s wall warm, end cap {cap_end}, windows "
                   f"{backends}, every committed window exact",
                   file=sys.stderr)
             extra["ladder_64steps_wall_s"] = wall
@@ -246,6 +265,13 @@ def main():
             vel_rp[:crowd] = dirs * 8.0
             st_rp = st_rp.replace(positions=jnp.asarray(pos_rp),
                                   velocities=jnp.asarray(vel_rp))
+            # warmed-second-rep (see the 1M ladder above; probe_r5_ladder
+            # _econ measured this scenario's shape 21.8 s cold vs 0.69 warm
+            # at N=16k — the cold wall is compile, not physics)
+            _, _, hist_rp = simulate_dense_adaptive(
+                st_rp, cfg_rp, 1.0 / 30.0, 48, chunk=4, max_cap=32, ocap=0)
+            assert all(m == 0 for _, _, m in hist_rp), (
+                f"re-probe scenario committed an inexact window: {hist_rp}")
             t0 = time.perf_counter()
             _, _, hist_rp = simulate_dense_adaptive(
                 st_rp, cfg_rp, 1.0 / 30.0, 48, chunk=4, max_cap=32, ocap=0)
