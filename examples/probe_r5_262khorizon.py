@@ -13,7 +13,11 @@ and (b) prices the exact window lengths all-in, warmed and fenced.
 Run from repo root on the chip: python examples/probe_r5_262khorizon.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
