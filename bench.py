@@ -563,6 +563,56 @@ def main():
             print(f"[bench] slab 2M bench failed: {e}", file=sys.stderr)
             extra["slab_2m_error"] = str(e)[:200]
 
+        # --- N=8M on ONE chip, exact (round 5): same 8 particles/unit^3
+        # density as the 2M flagship (world 100), tail-covering (68, 64)
+        # with the round-5 SLAB SIDECAR serving the marginal tail — pure
+        # capacity masks 16 rows by step 20 where ocap=128 serves them
+        # exactly for ~41 ms/step of enable cost, cheaper than the (72,64)
+        # slot padding (+19% slots; examples/probe_r5_slab8m.py). mcap =
+        # 2.25x the observed ~186k movers, migcap=4096 (1-device mesh,
+        # no crossers). Round 3's 8M was a hot-gas capacity experiment
+        # with thousands masked; this is a production point: trouble == 0
+        # asserted. -------------------------------------------------------
+        try:
+            from particle3d_tpu.parallel import (
+                make_mesh, init_sharded_dense, sharded_dense_steps)
+            from particle3d_tpu import SimConfig
+
+            n8m = 8 * 1024 * 1024
+            nsc8, cap8, mcap8, migcap8 = 68, 64, 419840, 4096
+            cfg8m = SimConfig(world_size=100.0,
+                              neighbor="celllist_pallas", cell_grid=nsc8,
+                              cell_capacity=cap8).validate()
+            mesh1 = make_mesh(1)
+            carry8 = init_sharded_dense(jax.random.PRNGKey(5), n8m, cfg8m,
+                                        mesh1, nsc=nsc8, cap=cap8,
+                                        migcap=migcap8)
+            hbm8 = sum(int(a.nbytes) for a in jax.tree.leaves(carry8))
+            kw8 = dict(nsc=nsc8, cap=cap8, mcap=mcap8, migcap=migcap8,
+                       n=n8m, ocap=128)
+            carry8, _ = sharded_dense_steps(  # compile + warm, same shape
+                carry8, cfg8m, dt, 10, mesh1, **kw8)
+            float(jnp.sum(carry8[0][:, 0]))
+            t0 = time.perf_counter()
+            carry8, (mov8, mask8, limbo8, lost8, _) = sharded_dense_steps(
+                carry8, cfg8m, dt, 10, mesh1, **kw8)
+            float(jnp.sum(carry8[0][:, 0]))
+            sec8m = (time.perf_counter() - t0) / 10
+            trouble8m = int(mask8) + int(limbo8)
+            assert trouble8m == 0 and int(lost8) == 0, (
+                f"slab 8M window committed force-frozen particles: "
+                f"masked {int(mask8)} limbo {int(limbo8)} lost {int(lost8)}")
+            print(f"[bench] slab stay-sharded N=8M (1 chip, sidecar-served "
+                  f"tail): {1/sec8m:.2f} steps/s, carry {hbm8/1e9:.2f} GB, "
+                  f"masked {int(mask8)} limbo {int(limbo8)} "
+                  f"lost {int(lost8)}", file=sys.stderr)
+            extra["slab_steps_per_s_N8M"] = 1 / sec8m
+            extra["slab_carry_bytes_N8M"] = hbm8
+            extra["slab_trouble_N8M"] = trouble8m
+        except Exception as e:
+            print(f"[bench] slab 8M bench failed: {e}", file=sys.stderr)
+            extra["slab_8m_error"] = str(e)[:200]
+
     if on_tpu:
         # --- N=4096 steps/sec (reference demo scale, x4). Parsed key
         # (round-5 verdict item 5): the round-4 3,065 -> 2,824 regression
