@@ -233,7 +233,7 @@ def main():
         # --- bidirectional re-probe ON HARDWARE (round-5 verdict item 8):
         # the 64-step ladder above never leaves the cell path, so the
         # culled fallback and the switch-BACK re-probe had zero on-chip
-        # coverage. Engineered cluster-then-disperse at N=32k: a blob
+        # coverage. Engineered cluster-then-disperse at N=16k: a blob
         # denser than max_cap forces the culled backend; strong outward
         # velocities disperse it ballistically; the dispersal re-probe
         # must return to the cell path — asserted from history, with real
@@ -285,7 +285,7 @@ def main():
             assert any(b != "allpairs" for b in backends[i_cul:]), (
                 f"dispersal re-probe never returned to the cell path: "
                 f"{hist_rp}")
-            print(f"[bench] bidirectional re-probe on-chip (N=32k blob "
+            print(f"[bench] bidirectional re-probe on-chip (N=16k blob "
                   f"cluster->disperse, 48 steps): windows {backends}, "
                   f"culled AND a later cell window both executed on "
                   f"hardware, every window exact, {wall_rp:.1f} s wall",

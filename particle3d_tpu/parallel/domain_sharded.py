@@ -41,11 +41,15 @@ Built on the incrementally-maintained dense layout (``ops.celllist_dense``):
     receivers from the combined set, so no force exchange is needed.
     Worklist rows integrate normally (limbo rows included). Only rows the
     sidecar cannot serve — out-of-slab binners stuck past the outbox,
-    misplaced/limbo rows beyond ``ocap``, movers beyond ``mcap`` — are
-    force-frozen, and the ``max_masked``/``max_limbo`` diagnostics count
-    exactly those UNSERVED rows (served rows are exact, not trouble).
-    Loss only past ``limbocap``, counted in ``lost``. ``ocap=0`` disables
-    the sidecar and restores the freeze-and-count behavior.
+    misplaced/limbo rows beyond ``ocap``, movers beyond ``mcap`` — go
+    without pair forces, and the ``max_masked``/``max_limbo`` diagnostics
+    count exactly those UNSERVED rows (served rows are exact, not
+    trouble). Unserved-row semantics: with ``ocap > 0`` every row steps,
+    so unserved rows COAST ballistically (zero pair force; gravity/drag
+    still apply) — consistent with how capacity-masked slot rows have
+    always behaved; with ``ocap=0`` limbo rows are not stepped at all
+    (position-frozen, the round-4 behavior) while masked slot rows still
+    coast. Loss only past ``limbocap``, counted in ``lost``.
 
 The reference's only parallelism is shared-memory rayon threads
 (``src/lib.rs:141-164``); this is the TPU-native multi-chip counterpart.
@@ -411,18 +415,20 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
         r2 = jnp.where(aligned, r2v, -1.0)
 
         # -- integrate ---------------------------------------------------
-        def sidecar_terms(pos_slot, ext, c):
+        def sidecar_terms(pos_slot, pos_limbo, ext, c):
             """Overflow-sidecar forces (module docstring): exact forces ON
             the worklist rows (terms A+B, local prefix only) and their
             reverse forces onto local aligned receivers (term C).
-            Worklist payloads (slot positions from ``pos_slot``, limbo
-            positions/U/V from the carried rows) are exchanged with the
-            ring neighbors so cross-slab pairs are served on BOTH sides —
-            each device computes forces onto its own receivers from the
-            combined set (no reverse force exchange needed). Straight-line
-            at full ocap width by design: dead entries contribute exact
-            zeros (see engine.step._sidecar_apply for the measured
-            cond-vs-straight-line motivation).
+            Worklist payloads (positions from ``pos_slot``/``pos_limbo`` —
+            MID-STEP-fresh when a non-Euler integrator re-evaluates forces,
+            exactly like the single-chip ``_sidecar_apply``'s
+            ``positions[msafe]``; U/V features from the carried rows) are
+            exchanged with the ring neighbors so cross-slab pairs are
+            served on BOTH sides — each device computes forces onto its
+            own receivers from the combined set (no reverse force exchange
+            needed). Straight-line at full ocap width by design: dead
+            entries contribute exact zeros (see engine.step._sidecar_apply
+            for the measured cond-vs-straight-line motivation).
 
             Returns (f_mis [ocap, 3], f_from [s_loc, 3], slot_dst,
             lim_dst) — scatter destinations with drop sentinels split by
@@ -435,7 +441,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             li = jnp.clip(msafe - s_loc, 0, limbocap - 1)
             si = jnp.minimum(msafe, s_loc - 1)
             rows = jnp.where(is_lim[:, None], limbo_data[li], data[si])
-            mpos = jnp.where(is_lim[:, None], rows[:, _POS], pos_slot[si])
+            mpos = jnp.where(is_lim[:, None], pos_limbo[li], pos_slot[si])
             pay = jnp.concatenate(
                 [mpos, rows[:, _U], rows[:, _V],
                  mval[:, None].astype(jnp.float32)], axis=1)
@@ -478,7 +484,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
             # rebuild discards below.
             fk, ext = halo_forces(data[:, _POS], data, r2)
             f_mis, f_from, slot_dst, lim_dst = sidecar_terms(
-                data[:, _POS], ext, cfg_in)
+                data[:, _POS], limbo_data[:, _POS], ext, cfg_in)
             f_slot = (fk * (r2 > 0.0)[:, None] + f_from).at[slot_dst].add(
                 f_mis, mode="drop") * FF.kick_scale(cfg_in)
             f_lim = jnp.zeros((limbocap, 3), jnp.float32).at[lim_dst].add(
@@ -511,7 +517,7 @@ def _make_step_body(cfg_in, dt_in, g: _Geom, axis: str, params_f,
                 f, ext = halo_forces(positions[:s_loc], data, r2)
                 f = f * (r2 > 0.0)[:, None]
                 f_mis, f_from, slot_dst, lim_dst = sidecar_terms(
-                    positions[:s_loc], ext, c)
+                    positions[:s_loc], positions[s_loc:], ext, c)
                 f = jnp.concatenate(
                     [(f + f_from).at[slot_dst].add(f_mis, mode="drop"),
                      jnp.zeros((limbocap, 3), f.dtype).at[lim_dst].add(
@@ -1148,7 +1154,15 @@ def sharded_relayout(carry, cfg: SimConfig, mesh, passes: int = 1,
     overflow sidecar could serve next window (in-slab misaligned slot rows
     + in-slab limbo rows), ``unservable`` the global count of rows still
     binning out of their device's slab. The grid path is re-enterable iff
-    ``unservable == 0 and servable_max <= ocap``."""
+    ``unservable == 0 and servable_max <= ocap``.
+
+    CALLERS MUST CHECK ``lost``: a pass whose arrivals overflow the limbo
+    capacity drops rows PERMANENTLY (exact windows can park many rows far
+    from their slabs, so transit through intermediate limbo can burst past
+    a limbocap that was ample for grid-path stepping). On ``lost > 0``
+    discard the returned carry, grow the pre-relayout carry's limbocap
+    (``recap_sharded_dense(..., limbocap_new=...)``) and retry — the
+    adaptive driver's ``relayout_guarded`` does exactly this."""
     data, pid, limbo_data, limbo_pid, lost_prev = carry
     d = mesh.shape[axis]
     limbocap = limbo_pid.shape[0] // d
@@ -1204,6 +1218,38 @@ def sharded_relayout(carry, cfg: SimConfig, mesh, passes: int = 1,
     return (data, pid, limbo_data, limbo_pid, lost_prev + lost), diag
 
 
+def _relayout_guarded(carry, cfg: SimConfig, mesh, *, nsc: int, cap: int,
+                      mcap: int | None, ocap: int, n: int,
+                      axis: str = AXIS, verbose=None):
+    """Transport-only layout repair that NEVER loses particles: a
+    relayout pass whose limbo overflows drops rows permanently (see
+    ``sharded_relayout``'s CALLERS MUST CHECK ``lost`` note), so on
+    ``lost > 0`` rewind to the pre-relayout carry (still live — the
+    transport counterpart of the grid window's lost>0 rewind rule) and
+    retry with limbocap grown 4x. Terminates: per-device limbocap >= n
+    holds every row outright. Returns ``(carry, servable_max,
+    unservable)`` with loss == 0 guaranteed."""
+    d = mesh.shape[axis]
+    while True:
+        new_c, (servable, unserv, lost) = sharded_relayout(
+            carry, cfg.replace(cell_capacity=cap), mesh,
+            passes=d // 2 + 1, nsc=nsc, cap=cap, mcap=mcap, axis=axis,
+            n=n, ocap=ocap)
+        if int(lost) == 0:
+            return new_c, int(servable), int(unserv)
+        lc = carry[3].shape[0] // d
+        if lc >= n:
+            raise RuntimeError(
+                f"relayout lost {int(lost)} rows at limbocap={lc} >= "
+                f"n={n} — impossible unless the carry is corrupt")
+        if verbose:
+            verbose(f"[slab-adaptive] relayout overflowed limbo "
+                    f"({int(lost)} rows would be lost) — rewinding "
+                    f"transport, limbocap={4 * lc}")
+        carry = recap_sharded_dense(carry, cfg, mesh, nsc, cap, cap,
+                                    limbocap_new=4 * lc, axis=axis)
+
+
 def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                            n: int, nsc: int | None = None,
                            cap: int | None = None, mcap: int | None = None,
@@ -1249,8 +1295,10 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         backend (Morton-culled, cheaper per step than the ring at small
         N, at the cost of O(N) memory per device). A small-N convenience;
         re-probes the slab path with a fresh build after each window.
-      * ``"warn"``: commit the masked window with a loud message — masked
-        particles are force-frozen for those steps, never wrong or lost
+      * ``"warn"``: commit the masked window with a loud message — the
+        unserved particles go without pair forces for those steps
+        (coasting with ocap > 0, position-frozen limbo with ocap=0 — see
+        the module docstring), never wrong species-pairs or lost
         (explicit opt-out; also the fallback for ``"exact_replicated"``
         when ``state`` is absent).
       * ``"raise"``: hard error.
@@ -1318,6 +1366,10 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         # rcap covers every device's live rows by construction
         assert int(overflow) == 0, int(overflow)
 
+    def relayout_guarded(c):
+        return _relayout_guarded(c, cfg, mesh, nsc=nsc, cap=cap, mcap=mcap,
+                                 ocap=ocap, n=n, axis=axis, verbose=verbose)
+
     def try_reenter_slab():
         """Probe the slab path. Sharded rung: repair the layout with
         transport-only relayout passes (multi-hop ring routing), re-enter
@@ -1326,10 +1378,7 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         re-enter on a clean build."""
         nonlocal carry, exact_mode, live_state
         if not replicated_rung:
-            carry, (servable, unserv, _) = sharded_relayout(
-                carry, cfg.replace(cell_capacity=cap), mesh,
-                passes=d // 2 + 1, nsc=nsc, cap=cap, mcap=mcap, axis=axis,
-                n=n, ocap=ocap)
+            carry, servable, unserv = relayout_guarded(carry)
             if int(unserv) == 0 and int(servable) <= ocap:
                 exact_mode = False
                 if verbose:
@@ -1465,8 +1514,10 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
                 enter_exact(prev, msg)
                 continue
             if verbose:
-                verbose(msg + " — committing the window; masked/limbo "
-                        "particles are force-frozen, never wrong or lost")
+                verbose(msg + " — committing the window; unserved "
+                        "particles get no pair forces for these steps "
+                        "(coast/freeze per the module docstring), never "
+                        "lost")
         done += k
         rewinds_here = 0
         history.append((k, cap, trouble))
@@ -1487,11 +1538,9 @@ def sharded_dense_adaptive(carry, cfg: SimConfig, dt, num_steps: int, mesh,
         carry = new_carry
     elif exact_mode:
         # sharded rung: the carry IS the state — one final transport-only
-        # relayout tidies the slot layout for downstream consumers
-        carry, _ = sharded_relayout(carry, cfg.replace(cell_capacity=cap),
-                                    mesh, passes=d // 2 + 1, nsc=nsc,
-                                    cap=cap, mcap=mcap, axis=axis, n=n,
-                                    ocap=ocap)
+        # relayout (loss-guarded like every other) tidies the slot layout
+        # for downstream consumers
+        carry, _, _ = relayout_guarded(carry)
     return carry, cap, history
 
 

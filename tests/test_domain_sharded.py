@@ -556,3 +556,79 @@ def test_sharded_exact_rung_reenters_slab_after_dispersal():
     np.testing.assert_allclose(np.asarray(out.positions),
                                np.asarray(ref.positions),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("integrator", ["velocity_verlet", "leapfrog"])
+def test_slab_sidecar_midstep_fresh_non_euler(integrator):
+    """Non-Euler integrators re-evaluate forces at MID-STEP positions;
+    the sidecar's limbo worklist rows must read those fresh positions,
+    not the pre-step carry (regression: accel_fn passed only the slot
+    half of ``positions`` into ``sidecar_terms``, whose limbo entries
+    then came from the closed-over pre-step ``limbo_data`` — leapfrog
+    diverged from all-pairs by 1.56e-03 while the served/unserved
+    diagnostics claimed fully exact)."""
+    st, cfg = _scene(n=1200, seed=5, cell_capacity=4, integrator=integrator)
+    mesh = make_mesh(4)
+    dt = jnp.float32(1 / 30)
+    from particle3d_tpu import simulate
+
+    ref = simulate(st, cfg.replace(neighbor="allpairs"), dt, 8)
+    out, (_, mask_s, limbo_s, lost, _) = sharded_dense_simulate(
+        st, cfg, dt, 8, mesh)
+    assert int(lost) == 0
+    assert int(mask_s) == 0 and int(limbo_s) == 0  # everything served
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.velocities),
+                               np.asarray(ref.velocities),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_relayout_guard_never_loses_rows():
+    """Exact windows can park hundreds of rows far from their slabs; a
+    relayout whose multi-hop transit bursts the limbo capacity drops rows
+    permanently (regression: the driver discarded sharded_relayout's
+    ``lost`` diagnostic and re-entered the grid path as if repair
+    succeeded — 385 of 400 drifted rows silently vanished). The guarded
+    repair must rewind, grow limbocap, and deliver every row."""
+    from particle3d_tpu.parallel.domain_sharded import (
+        build_sharded_dense, gather_sharded_dense, sharded_relayout,
+        _relayout_guarded)
+
+    st, cfg = _scene(n=2048, seed=7)
+    mesh = make_mesh(4)
+    nsc, cap = cfg.cell_grid, cfg.cell_capacity
+    carry = build_sharded_dense(st, cfg, mesh, limbocap=64)
+    data, pid, ld, lp, lost0 = carry
+    assert int(lost0) == 0
+
+    # drift 400 live rows from slabs 1-3 into ONE slab-0 cell (a dense
+    # blob parked far from home — what a ladder-end exact window can
+    # produce): the arrivals overflow the cell into limbo, and limbo
+    # bursts past limbocap=64
+    d_np = np.asarray(data).copy()
+    pid_np = np.asarray(pid)
+    s_loc = pid_np.shape[0] // 4
+    cand = np.where((pid_np >= 0) & (np.arange(pid_np.shape[0]) >= s_loc))[0]
+    drift = cand[:400]
+    d_np[drift, 0:3] = np.float32([-7.0, 0.3, 0.3])
+    d_np[drift, 0] += np.linspace(0, 0.5, drift.size, dtype=np.float32)
+    carry = (jnp.asarray(d_np), pid, ld, lp, lost0)
+
+    live_before = int((pid_np >= 0).sum()) + int((np.asarray(lp) >= 0).sum())
+    # the unguarded relayout at this limbocap demonstrably loses rows —
+    # the hazard the guard exists for (if this stops tripping, shrink
+    # limbocap or grow the drift so the guard test stays meaningful)
+    _, (_, _, lost_raw) = sharded_relayout(
+        carry, cfg, mesh, passes=3, nsc=nsc, cap=cap, n=st.n, ocap=128)
+    assert int(lost_raw) > 0
+
+    fixed, servable, unserv = _relayout_guarded(
+        carry, cfg, mesh, nsc=nsc, cap=cap, mcap=None, ocap=128, n=st.n)
+    _, pid2, _, lp2, lost2 = fixed
+    assert int(lost2) == 0
+    live_after = int((np.asarray(pid2) >= 0).sum()) \
+        + int((np.asarray(lp2) >= 0).sum())
+    assert live_after == live_before
+    assert int(unserv) == 0  # every drifted row reached slab 0
