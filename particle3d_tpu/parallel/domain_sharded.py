@@ -995,9 +995,9 @@ def recap_sharded_dense(carry, cfg: SimConfig, mesh, nsc: int, cap_old: int,
     limbo capacity) IN PLACE of a rebuild: every cell's slot block pads
     from ``cap_old`` to ``cap_new`` rows and occupants keep their slots.
     Limbo rows whose target cell is in-slab are DRAINED into the grown
-    cells immediately — limbo means force-frozen, so leaving them for the
-    next step's placement pass would keep the very inexactness the
-    escalation rewound for. Fully sharded — nothing is replicated. Used
+    cells immediately — limbo rows beyond ``ocap`` get no pair forces
+    (module docstring), so leaving them for the next step's placement
+    pass would keep the very inexactness the escalation rewound for. Fully sharded — nothing is replicated. Used
     by ``sharded_dense_adaptive``'s escalation ladder."""
     if cap_new < cap_old:
         raise ValueError("recap only grows: cap_new >= cap_old")
